@@ -1,0 +1,75 @@
+"""hiop_tpu — a TPU-native nonlinear-programming framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of LLNL/HiOp
+(reference: /root/reference, see SURVEY.md): filter line-search interior-point
+methods (quasi-Newton and Newton) over dense-constrained, sparse, and mixed
+dense-sparse NLP formulations, a primal-decomposition solver for two-stage
+stochastic programs, sharded distributed linear algebra over a
+``jax.sharding.Mesh`` (replacing the reference's MPI layer), and the full
+operational surface (typed options, leveled logging, run statistics,
+checkpointing, feasibility restoration, KKT dumping).
+
+Precision note: the reference is float64 throughout (it is an optimizer that
+converges to 1e-8 KKT tolerances). We enable x64 at import; hot KKT
+factorizations can run in float32 with float64 iterative refinement via the
+``kkt_fact_dtype`` option (the ReSolve-style mixed-precision pattern,
+cf. reference src/LinAlg/ReSolve/).
+"""
+
+import os as _os
+
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+# The host environment may force a platform at interpreter start (e.g. a
+# sitecustomize registering a TPU plugin overrides JAX_PLATFORMS). Honor an
+# explicit override so CLI drivers/tests can pick the backend:
+#   HIOP_TPU_PLATFORM=cpu python examples/dense_ex1.py ...
+if _os.environ.get("HIOP_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["HIOP_TPU_PLATFORM"])
+
+from hiop_tpu.status import SolveStatus  # noqa: E402
+from hiop_tpu.utils.options import NlpOptions, PriDecOptions  # noqa: E402
+from hiop_tpu.utils.logger import Logger, Verbosity  # noqa: E402
+from hiop_tpu.interface.base import (  # noqa: E402
+    NlpProblem,
+    DenseConstraintsProblem,
+    SparseProblem,
+    MdsProblem,
+    AutoDiffNlpProblem,
+)
+from hiop_tpu.formulation.base import NlpFormulation  # noqa: E402
+from hiop_tpu.formulation.dense import NlpDenseConstraints  # noqa: E402
+from hiop_tpu.formulation.sparse import NlpSparse  # noqa: E402
+from hiop_tpu.formulation.mds import NlpMDS  # noqa: E402
+from hiop_tpu.optimization.filter_ipm import (  # noqa: E402
+    FilterIPMQuasiNewton,
+    FilterIPMNewton,
+)
+from hiop_tpu.optimization.pridec import PriDecSolver  # noqa: E402
+from hiop_tpu.interface.pridec import PriDecProblem, RecourseApproxEvaluator  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SolveStatus",
+    "NlpOptions",
+    "PriDecOptions",
+    "Logger",
+    "Verbosity",
+    "NlpProblem",
+    "DenseConstraintsProblem",
+    "SparseProblem",
+    "MdsProblem",
+    "AutoDiffNlpProblem",
+    "NlpFormulation",
+    "NlpDenseConstraints",
+    "NlpSparse",
+    "NlpMDS",
+    "FilterIPMQuasiNewton",
+    "FilterIPMNewton",
+    "PriDecSolver",
+    "PriDecProblem",
+    "RecourseApproxEvaluator",
+]

@@ -1,0 +1,43 @@
+"""Dense-constrained NLP formulation.
+
+Parity with ``hiopNlpDenseConstraints``
+(/root/reference/src/Optimization/hiopNlpFormulation.hpp:428): few global
+constraints whose Jacobian is dense (m x n). In the reference the Jacobian is
+an MPI column-distributed ``hiopMatrixDenseRowMajor``; here it is a (m, n)
+jax.Array whose n axis may be sharded over the device mesh — J @ x and
+J @ M^{-1} @ J^T contract over n and lower to psum, the exact analogue of
+hiopMatrixDenseRowMajor.cpp:487,699.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from hiop_tpu.formulation.base import NlpFormulation
+from hiop_tpu.utils.logger import Verbosity
+
+
+class NlpDenseConstraints(NlpFormulation):
+    def finalize_initialization(self) -> None:
+        super().finalize_initialization()
+
+    def maybe_setup_scaling(self, x0) -> None:
+        if self._scaling_done:
+            return
+        grad0 = np.asarray(self.problem.eval_grad_f(x0))
+        jac0 = np.asarray(self.problem.eval_jac_cons(x0))
+        row_norms = (
+            np.max(np.abs(jac0), axis=1) if self.m else np.zeros(0)
+        )
+        self._setup_scaling(grad0, row_norms)
+
+    def eval_jac(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (Jc (m_eq, n), Jd (m_ineq, n)), scaled."""
+        self.runstats.n_eval_jac += 1
+        with self.runstats.tm_eval_jac:
+            J = jnp.asarray(self.problem.eval_jac_cons(x))
+        J = J * jnp.asarray(self._scale_cons)[:, None]
+        return J[self.eq_idx, :], J[self.ineq_idx, :]

@@ -1,0 +1,53 @@
+"""Constraint-multiplier updates (LSQ and linear).
+
+Parity with ``hiopDualsUpdater`` (/root/reference/src/Optimization/
+hiopDualsUpdater.hpp:68,116,254,401). The LSQ update solves
+
+  [ Jc Jc^T    Jc Jd^T     ] [yc]   [Jc  0] [ -grad_f + zl - zu ]
+  [ Jd Jc^T    Jd Jd^T + I ] [yd] = [Jd  I] [ -vl + vu          ]
+
+(doc hiopDualsUpdater.hpp:199-231). The m x m system is replicated and
+Cholesky-solved; the Jacobian products contract over the (possibly sharded)
+n axis — the reference allreduces the same small matrix
+(hiopDualsUpdater.cpp:251)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu):
+    """Returns (yc, yd) minimizing the dual-infeasibility LSQ problem."""
+    mc, md = Jc.shape[0], Jd.shape[0]
+    m = mc + md
+    if m == 0:
+        return jnp.zeros((0,), grad_f.dtype), jnp.zeros((0,), grad_f.dtype)
+    J = jnp.concatenate([Jc, Jd], axis=0)
+    M = J @ J.T + jnp.diag(
+        jnp.concatenate([jnp.zeros((mc,), J.dtype), jnp.ones((md,), J.dtype)])
+    )
+    r1 = -grad_f + zl - zu
+    r2 = -vl + vu
+    rhs = J @ r1 + jnp.concatenate([jnp.zeros((mc,), J.dtype), r2])
+    # SPD up to Jacobian rank deficiency; regularized Cholesky
+    eps = jnp.finfo(M.dtype).eps
+    scale = jnp.maximum(jnp.max(jnp.abs(M)), 1.0)
+    L = jnp.linalg.cholesky(M + jnp.sqrt(eps) * scale * jnp.eye(m, dtype=M.dtype))
+    y = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return y[:mc], y[mc:]
+
+
+def initial_duals_lsq(Jc, Jd, grad_f, zl, zu, vl, vu, lsq_max: float):
+    """LSQ initialization with the duals_lsq_ini_max cap
+    (compute_initial_duals_eq): falls back to zeros when the LSQ duals are
+    large (badly scaled problems)."""
+    yc, yd = lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu)
+    ynrm = max(
+        float(jnp.max(jnp.abs(yc))) if yc.size else 0.0,
+        float(jnp.max(jnp.abs(yd))) if yd.size else 0.0,
+    )
+    if ynrm > lsq_max:
+        return jnp.zeros_like(yc), jnp.zeros_like(yd)
+    return yc, yd

@@ -1,0 +1,556 @@
+"""Filter line-search interior-point solvers.
+
+Parity with ``hiopAlgFilterIPMBase`` / ``hiopAlgFilterIPMQuasiNewton`` /
+``hiopAlgFilterIPMNewton`` (/root/reference/src/Optimization/
+hiopAlgFilterIPM.hpp:83,349,446). The outer algorithm (mu loop, filter
+line search, second-order correction, dual updates, termination) runs in
+Python at iteration granularity — it is O(100) decisions per solve — while
+all O(n)/O(n*m) math (residual assembly, KKT solves, fraction-to-the-
+boundary, BFGS algebra) runs as jit-compiled functions on device, the same
+split the reference has between its control flow and its BLAS/device
+kernels (see SURVEY.md §3.1 hot-loop analysis).
+
+Algorithm skeleton mirrors the reference's run() (cpp:955-1552 for QN):
+startingProcedure -> loop { errors/termination -> mu update loop ->
+Hessian/KKT update -> search direction -> fraction-to-boundary ->
+backtracking filter line search (with SOC) -> dual update -> re-evals }.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from hiop_tpu.interface.base import IterateCallbackInfo
+from hiop_tpu.formulation.base import NlpFormulation
+from hiop_tpu.kkt import lowrank as kkt_lowrank
+from hiop_tpu.optimization import duals_update as du
+from hiop_tpu.optimization import hessian_lowrank as blr
+from hiop_tpu.optimization import iterate as it_mod
+from hiop_tpu.optimization import residual as res_mod
+from hiop_tpu.optimization.filter import Filter
+from hiop_tpu.optimization.iterate import Bounds, Iterate
+from hiop_tpu.status import SolveStatus
+from hiop_tpu.utils.logger import Verbosity
+
+
+@dataclass
+class SolverResult:
+    status: SolveStatus
+    x: np.ndarray
+    obj: float
+    iterations: int
+    err_nlp: float = float("nan")
+    mu: float = float("nan")
+
+
+class FilterIPMBase:
+    """Shared IPM machinery (hiopAlgFilterIPMBase)."""
+
+    # Wächter–Biegler constants (reference hiopAlgFilterIPM.cpp:259-268)
+    gamma_theta = 1e-5
+    gamma_phi = 1e-8
+    s_theta = 1.1
+    s_phi = 2.3
+    delta = 1.0
+    kappa_Sigma = 1e10
+    kappa_d = 1e-5  # damping factor (hiopLogBarProblem kappa_d)
+
+    def __init__(self, nlp: NlpFormulation):
+        self.nlp = nlp
+        nlp.finalize_initialization()
+        self.opts = nlp.options
+        self.log = nlp.log
+        o = self.opts
+        self.eps_tol = o.num("tolerance")
+        self.cons_tol = o.num("cons_tol")
+        self.dual_tol = o.num("dual_tol")
+        self.comp_tol = o.num("comp_tol")
+        self.rel_tol = o.num("rel_tolerance")
+        self.kappa_eps = o.num("kappa_eps")
+        self.kappa_mu = o.num("kappa_mu")
+        self.theta_mu = o.num("theta_mu")
+        self.tau_min = o.num("tau_min")
+        self.kappa1 = o.num("kappa1")
+        self.kappa2 = o.num("kappa2")
+        self.smax = o.num("smax")
+        self.eta_phi = o.num("eta_phi")
+        self.mu0 = o.num("mu0")
+        self.max_iter = o.integer("max_iter")
+        self.accep_tol = o.num("acceptable_tolerance")
+        self.accep_iters = o.integer("acceptable_iterations")
+        self.theta_max_fact = o.num("theta_max_fact")
+        self.theta_min_fact = o.num("theta_min_fact")
+        self.min_step_size = o.num("min_step_size")
+        self.max_soc_iter = o.integer("max_soc_iter")
+        self.kappa_soc = o.num("kappa_soc")
+
+        self.filter = Filter()
+        self.theta_max = 1e7
+        self.theta_min = 1e7
+        self._n_accep = 0
+        self._err_nlp0: Optional[float] = None
+
+        # set by run()
+        self.iter_num = 0
+        self.solver_status = SolveStatus.NlpSolve_SolveNotCalled
+
+    # ------------------------------------------------------------- utilities
+    def _eval_f_cons(self, x):
+        f = self.nlp.eval_f(x)
+        c, d = self.nlp.eval_cons(x)
+        if not (np.isfinite(float(f)) and bool(jnp.all(jnp.isfinite(c))) and bool(jnp.all(jnp.isfinite(d)))):
+            raise _UserEvalError()
+        return f, c, d
+
+    def _logbar_f(self, it: Iterate, f, b: Bounds, mu):
+        """Barrier objective phi = f - mu*sum(log slacks) + damping."""
+        val = f - mu * it_mod.eval_logbar(it, b)
+        val = val + it_mod.linear_damping_term(it, b, mu, self.kappa_d)
+        return float(val)
+
+    def _logbar_grads(self, it: Iterate, grad_f, b: Bounds, mu):
+        gx = it_mod.add_logbar_grad_x(grad_f, it, b, mu)
+        gx = it_mod.add_damping_grad_x(gx, b, mu, self.kappa_d)
+        gd = it_mod.add_logbar_grad_d(jnp.zeros_like(it.d), it, b, mu)
+        gd = it_mod.add_damping_grad_d(gd, b, mu, self.kappa_d)
+        return gx, gd
+
+    def _theta_onenorm(self, it: Iterate, c, d):
+        """One-norm primal infeasibility (compute_nlp_infeasib_onenorm)."""
+        return float(jnp.sum(jnp.abs(self.nlp.crhs - c)) + jnp.sum(jnp.abs(it.d - d)))
+
+    def _errors(self, it: Iterate, norms: res_mod.ResidualNorms):
+        """Scaled NLP/barrier errors (evalNlpAndLogErrors)."""
+        n, m = self.nlp.n, self.nlp.m
+        eq1, bnd1 = it_mod.norm_one_of_duals(it)
+        eq1, bnd1 = float(eq1), float(bnd1)
+        sd = min(max(self.smax, (bnd1 + eq1) / max(n + m, 1)) / self.smax, 1e8)
+        sc = 0.0 if n == 0 else min(max(self.smax, bnd1 / n) / self.smax, 1e8)
+        cons_violation = float(norms.cons_violation)
+        err_nlp = max(
+            float(norms.nlp_optim) / sd,
+            cons_violation,
+            float(norms.nlp_complem) / sc if sc > 0 else 0.0,
+        )
+        err_log = max(
+            float(norms.bar_optim) / sd,
+            cons_violation,
+            float(norms.bar_complem) / sc if sc > 0 else 0.0,
+        )
+        return err_nlp, err_log, cons_violation
+
+    def _check_termination(self, err_nlp: float, norms) -> Optional[SolveStatus]:
+        if err_nlp <= self.eps_tol:
+            return SolveStatus.Solve_Success
+        if self._err_nlp0 is not None and self.rel_tol > 0:
+            if err_nlp <= self.rel_tol * self._err_nlp0:
+                return SolveStatus.Solve_Success_RelTol
+        if err_nlp <= self.accep_tol:
+            self._n_accep += 1
+            if self._n_accep >= self.accep_iters:
+                return SolveStatus.Solve_Acceptable_Level
+        else:
+            self._n_accep = 0
+        if self.iter_num >= self.max_iter:
+            return SolveStatus.Max_Iter_Exceeded
+        if float(norms.nlp_feasib) > 1e20:
+            return SolveStatus.Iterates_Diverging
+        return None
+
+    def _update_mu(self, mu: float):
+        """(update_log_barrier_params): returns (changed, mu_new, tau_new)."""
+        target_comp_tol = self.comp_tol / self.nlp.scale_obj
+        new_mu = max(0.0, min(self.kappa_mu * mu, mu**self.theta_mu))
+        new_mu = max(new_mu, min(self.eps_tol, target_comp_tol) / 11.0)
+        if abs(new_mu - mu) < 1e-16:
+            return False, mu, max(self.tau_min, 1.0 - mu)
+        return True, new_mu, max(self.tau_min, 1.0 - new_mu)
+
+    def _accept_line_search_conditions(
+        self,
+        theta_curr: float,
+        theta_trial: float,
+        phi_curr: float,
+        phi_trial: float,
+        alpha_primal: float,
+        grad_phi_dx: float,
+    ) -> int:
+        """Returns ls status: 0 rejected, 1 suff-decrease (far), 2
+        suff-decrease (near), 3 Armijo (accept_line_search_conditions,
+        hiopAlgFilterIPM.cpp:2856-2945)."""
+        if theta_curr >= self.theta_min:
+            if (
+                theta_trial <= (1 - self.gamma_theta) * theta_curr
+                or phi_trial <= phi_curr - self.gamma_phi * theta_curr
+            ):
+                if self.filter.contains(theta_trial, phi_trial):
+                    return 0
+                return 1
+            return 0
+        # near-feasibility: switching condition (19)
+        if grad_phi_dx < 0 and alpha_primal * (-grad_phi_dx) ** self.s_phi > self.delta * theta_curr**self.s_theta:
+            if phi_trial <= phi_curr + self.eta_phi * alpha_primal * grad_phi_dx:
+                if self.filter.contains(theta_trial, phi_trial):
+                    return 0
+                return 3
+            return 0
+        if (
+            theta_trial <= (1 - self.gamma_theta) * theta_curr
+            or phi_trial <= phi_curr - self.gamma_phi * theta_curr
+        ):
+            if self.filter.contains(theta_trial, phi_trial):
+                return 0
+            return 2
+        return 0
+
+    def _output_iteration(self, f_nlp, err_feas, err_optim, mu, alpha_du, alpha_pr, ls_num, ls_status, use_soc=0, use_fr=0):
+        """Per-iteration summary line (outputIteration); its format is a test
+        interface (the reference diffs these tables across backends)."""
+        if self.iter_num % 10 == 0:
+            self.log.printf(
+                Verbosity.SUMMARY,
+                "iter    objective     inf_pr     inf_du   lg(mu)  alpha_du   alpha_pr linesrch",
+            )
+        obj_unscaled = float(f_nlp) / self.nlp.scale_obj
+        if ls_status == -1:
+            self.log.printf(
+                Verbosity.SUMMARY,
+                "%4d %14.7e %7.3e  %7.3e %6.2f  %7.3e  %7.3e  -(-)",
+                self.iter_num, obj_unscaled, err_feas, err_optim,
+                math.log10(mu), alpha_du, alpha_pr,
+            )
+        else:
+            st = {1: "s", 2: "h", 3: "f"}.get(ls_status, "?")
+            if use_soc:
+                st = st.upper()
+            if use_fr:
+                st = "R"
+            self.log.printf(
+                Verbosity.SUMMARY,
+                "%4d %14.7e %7.3e  %7.3e %6.2f  %7.3e  %7.3e  %d(%s)",
+                self.iter_num, obj_unscaled, err_feas, err_optim,
+                math.log10(mu), alpha_du, alpha_pr, ls_num, st,
+            )
+
+
+class _UserEvalError(Exception):
+    pass
+
+
+class FilterIPMQuasiNewton(FilterIPMBase):
+    """IPM with limited-memory BFGS Hessian for dense-constrained NLPs
+    (hiopAlgFilterIPMQuasiNewton, hpp:349). Always runs in "safe mode"
+    (cpp:1085); the KKT system is the low-rank Schur solve."""
+
+    def run(self) -> SolverResult:
+        nlp = self.nlp
+        b: Bounds = nlp.bounds
+        stats = nlp.runstats
+        stats.tm_optimize_total.restart()
+        try:
+            return self._run_inner(b, stats)
+        except _UserEvalError:
+            self.solver_status = SolveStatus.Error_In_User_Function
+            return SolverResult(self.solver_status, np.zeros(nlp.n), float("nan"), self.iter_num)
+        finally:
+            stats.tm_optimize_total.stop()
+
+    # ------------------------------------------------------------------ main
+    def _run_inner(self, b: Bounds, stats) -> SolverResult:
+        nlp = self.nlp
+        o = self.opts
+        mu = self.mu0
+        tau = max(self.tau_min, 1.0 - mu)
+
+        # ---------------- starting procedure (cpp:290) ---------------------
+        stats.tm_starting_point.restart()
+        x_user = nlp.get_starting_point()
+        nlp.maybe_setup_scaling(x_user)
+        f0, c0, d0_eval = self._eval_f_cons(x_user)
+        x0, d0 = it_mod.starting_point_primal(x_user, d0_eval, b, self.kappa1, self.kappa2)
+        # re-evaluate at the projected point
+        f, c, d_eval = self._eval_f_cons(x0)
+        n, m_eq, m_ineq = nlp.n, nlp.m_eq, nlp.m_ineq
+        one = jnp.ones((n,), x0.dtype)
+        it_curr = Iterate(
+            x=x0,
+            d=d0,
+            sxl=one, sxu=one,
+            sdl=jnp.ones((m_ineq,), x0.dtype), sdu=jnp.ones((m_ineq,), x0.dtype),
+            yc=jnp.zeros((m_eq,), x0.dtype), yd=jnp.zeros((m_ineq,), x0.dtype),
+            zl=b.ixl * 1.0, zu=b.ixu * 1.0,
+            vl=b.idl * 1.0, vu=b.idu * 1.0,
+        )
+        it_curr = it_mod.determine_slacks(it_curr, b)
+        grad_f = nlp.eval_grad_f(x0)
+        Jc, Jd = nlp.eval_jac(x0)
+        if o.str_("duals_init") == "lsq":
+            yc, yd = du.initial_duals_lsq(
+                Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
+                o.num("duals_lsq_ini_max"),
+            )
+            it_curr = it_curr._replace(yc=yc, yd=yd)
+        stats.tm_starting_point.stop()
+
+        # BFGS memory
+        bfgs = blr.init_state(n, o.integer("secant_memory_len"), o.num("sigma0"))
+        sigma_strategy = o.str_("sigma_update_strategy")
+        sigma0 = o.num("sigma0")
+        prev = None  # (x, grad_f, Jc, Jd) for the secant update
+
+        resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
+        theta0 = self._theta_onenorm(it_curr, c, d_eval)
+        self.theta_max = self.theta_max_fact * max(1.0, theta0)
+        self.theta_min = self.theta_min_fact * max(1.0, theta0)
+        self.filter.reinitialize(self.theta_max)
+
+        alpha_primal = alpha_dual = 0.0
+        ls_status, ls_num, use_soc = -1, 0, 0
+        disable_ls = o.str_("accept_every_trial_step") == "yes"
+        self.solver_status = SolveStatus.NlpSolve_Pending
+        self.iter_num = 0
+
+        while True:
+            err_nlp, err_log, cons_viol = self._errors(it_curr, norms)
+            if self._err_nlp0 is None:
+                self._err_nlp0 = err_nlp
+            self._output_iteration(
+                f, float(norms.nlp_feasib), float(norms.nlp_optim), mu,
+                alpha_dual, alpha_primal, ls_num, ls_status, use_soc,
+            )
+            # user callback (may stop the solver)
+            info = IterateCallbackInfo(
+                iter=self.iter_num, obj_value=nlp.unscaled_obj(f),
+                logbar_obj_value=self._logbar_f(it_curr, f, b, mu),
+                x=it_curr.x, z_L=it_curr.zl, z_U=it_curr.zu, s=it_curr.d,
+                g=c, yc=it_curr.yc, yd=it_curr.yd,
+                inf_pr=float(norms.nlp_feasib), inf_du=float(norms.nlp_optim),
+                onenorm_pr=self._theta_onenorm(it_curr, c, d_eval),
+                mu=mu, alpha_du=alpha_dual, alpha_pr=alpha_primal, ls_trials=ls_num,
+            )
+            if not nlp.user_callback_iterate(info):
+                self.solver_status = SolveStatus.User_Stopped
+                break
+
+            term = self._check_termination(err_nlp, norms)
+            if term is not None:
+                self.solver_status = term
+                break
+
+            # ------------- mu update loop (cpp:1168) -----------------------
+            while err_log <= self.kappa_eps * mu:
+                changed, mu, tau = self._update_mu(mu)
+                if not changed:
+                    break
+                self.log.printf(Verbosity.SCALARS, "barrier params reduced: mu=%g tau=%g", mu, tau)
+                resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
+                err_nlp, err_log, cons_viol = self._errors(it_curr, norms)
+                self.filter.reinitialize(self.theta_max)
+
+            # ------------- Hessian (BFGS) update ---------------------------
+            if prev is not None:
+                x_prev, grad_prev, Jc_prev, Jd_prev = prev
+                s_new = it_curr.x - x_prev
+                y_new = (grad_f - grad_prev) + (Jc - Jc_prev).T @ it_curr.yc + (Jd - Jd_prev).T @ it_curr.yd
+                bfgs = blr.update(bfgs, s_new, y_new, sigma0, strategy=sigma_strategy)
+            prev = (it_curr.x, grad_f, Jc, Jd)
+
+            # ------------- search direction (low-rank KKT) -----------------
+            stats.kkt.start_iter()
+            with stats.kkt.tm_total:
+                with stats.kkt.tm_update_init:
+                    Dx, Dd = res_mod.barrier_diagonals(it_curr, b)
+                    kdata = kkt_lowrank.LowRankKKTData(bfgs, Dx, Dd, Jc, Jd)
+                with stats.kkt.tm_solve_rhs_manip:
+                    rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it_curr, b)
+                with stats.kkt.tm_solve_inner:
+                    dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(kdata, rx_t, rd_t, ryc, ryd)
+                dir_ = res_mod.recover_direction(resid, it_curr, b, dx, dd, dyc, dyd)
+            if o.str_("time_kkt") == "on":
+                self.log.printf(Verbosity.SUMMARY, "%s", stats.kkt.summary_last_iter())
+
+            # ------------- line search -------------------------------------
+            ap, ad = it_mod.fraction_to_the_boundary(it_curr, dir_, tau, b)
+            alpha_primal, alpha_dual = float(ap), float(ad)
+            theta_curr = self._theta_onenorm(it_curr, c, d_eval)
+            phi_curr = self._logbar_f(it_curr, f, b, mu)
+            gx, gd = self._logbar_grads(it_curr, grad_f, b, mu)
+            grad_phi_dx = float(gx @ dir_.x + gd @ dir_.d)
+
+            ls_status, ls_num, use_soc = 0, 0, 0
+            ini_step = True
+            it_trial = None
+            f_trial = c_trial = d_trial = None
+            theta_trial = phi_trial = None
+            small_step = False
+
+            while True:
+                if not ini_step and alpha_primal < self.min_step_size:
+                    self.log.printf(
+                        Verbosity.ERROR,
+                        "Minimum step size reached; problem may be locally infeasible.",
+                    )
+                    small_step = True
+                    break
+                it_trial = it_mod.take_step_primals(it_curr, dir_, alpha_primal)
+                it_trial, n_adj = it_mod.compute_safe_slacks(it_trial, it_curr, b, mu)
+                f_trial, c_trial, d_trial = self._eval_f_cons(it_trial.x)
+                theta_trial = self._theta_onenorm(it_trial, c_trial, d_trial)
+                phi_trial = self._logbar_f(it_trial, f_trial, b, mu)
+                ls_num += 1
+                if disable_ls:
+                    ls_status = 1
+                    break
+                ls_status = self._accept_line_search_conditions(
+                    theta_curr, theta_trial, phi_curr, phi_trial, alpha_primal, grad_phi_dx
+                )
+                if ls_status > 0:
+                    break
+                # second-order correction on the first rejected trial
+                if ini_step and theta_curr <= theta_trial and self.max_soc_iter > 0:
+                    soc = self._try_soc(
+                        it_curr, resid, b, mu, tau, kdata, c, d_eval,
+                        c_trial, d_trial, theta_curr, theta_trial,
+                        alpha_primal, phi_curr, grad_phi_dx,
+                    )
+                    if soc is not None:
+                        (it_trial, f_trial, c_trial, d_trial, theta_trial,
+                         phi_trial, alpha_primal, alpha_dual, dir_, ls_status) = soc
+                        use_soc = 1
+                        break
+                alpha_primal *= 0.5
+                ini_step = False
+
+            if small_step:
+                # The reference attempts feasibility restoration here (QN is
+                # always safe-mode); until FR lands, exit at the acceptable
+                # level when the error is already small.
+                if err_nlp <= self.accep_tol:
+                    self.solver_status = SolveStatus.Solve_Acceptable_Level
+                else:
+                    self.solver_status = SolveStatus.Steplength_Too_Small
+                break
+
+            # filter augmentation (cpp:1383-1420)
+            if ls_status == 1:
+                if grad_phi_dx < 0 and alpha_primal * (-grad_phi_dx) ** self.s_phi > self.delta * theta_curr**self.s_theta:
+                    if not (phi_trial <= phi_curr + self.eta_phi * alpha_primal * grad_phi_dx):
+                        self.filter.add(theta_trial, phi_trial)
+                else:
+                    self.filter.add(theta_trial, phi_trial)
+            elif ls_status == 2:
+                self.filter.add(theta_trial, phi_trial)
+
+            self.iter_num += 1
+            stats.n_iters = self.iter_num
+
+            # ------------- dual update (dualsUpdate_->go) ------------------
+            infeas_nrm_trial = theta_trial
+            it_trial = it_mod.take_step_duals(it_trial, dir_, alpha_primal, alpha_dual)
+            if (
+                o.str_("duals_update_type") == "lsq"
+                and infeas_nrm_trial < o.num("recalc_lsq_duals_tol")
+            ):
+                grad_trial = nlp.eval_grad_f(it_trial.x)
+                Jc_trial, Jd_trial = nlp.eval_jac(it_trial.x)
+                yc_new, yd_new = du.lsq_duals(
+                    Jc_trial, Jd_trial, grad_trial,
+                    it_trial.zl, it_trial.zu, it_trial.vl, it_trial.vu,
+                )
+                it_trial = it_trial._replace(yc=yc_new, yd=yd_new)
+                grad_f, Jc, Jd = grad_trial, Jc_trial, Jd_trial
+            else:
+                grad_f = nlp.eval_grad_f(it_trial.x)
+                Jc, Jd = nlp.eval_jac(it_trial.x)
+            it_trial = it_mod.adjust_duals(it_trial, b, mu, self.kappa_Sigma)
+
+            # accept trial
+            it_curr = it_trial
+            f, c, d_eval = f_trial, c_trial, d_trial
+            resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
+
+        # ---------------- wrap up ------------------------------------------
+        obj = nlp.unscaled_obj(f)
+        nlp.user_callback_solution(
+            self.solver_status, it_curr.x, it_curr.zl, it_curr.zu,
+            jnp.concatenate([c, d_eval]) if (nlp.m_eq or nlp.m_ineq) else c,
+            (it_curr.yc, it_curr.yd), obj,
+        )
+        err_nlp, _, _ = self._errors(it_curr, norms)
+        self.log.printf(
+            Verbosity.SUMMARY,
+            "Solver status: %s, objective %.12e, iterations %d",
+            self.solver_status.name, obj, self.iter_num,
+        )
+        return SolverResult(
+            status=self.solver_status,
+            x=np.asarray(it_curr.x),
+            obj=obj,
+            iterations=self.iter_num,
+            err_nlp=err_nlp,
+            mu=mu,
+        )
+
+    # -------------------------------------------------------------- helpers
+    def _update_residual(self, it: Iterate, c, d_eval, grad_f, Jc, Jd, b: Bounds, mu):
+        jacT_yc = Jc.T @ it.yc if Jc.shape[0] else jnp.zeros_like(it.x)
+        jacT_yd = Jd.T @ it.yd if Jd.shape[0] else jnp.zeros_like(it.x)
+        return res_mod.update_residual(
+            it, c, d_eval, grad_f, jacT_yc, jacT_yd, self.nlp.crhs, b, mu, self.kappa_d
+        )
+
+    def _try_soc(
+        self, it_curr, resid, b, mu, tau, kdata, c_curr, d_curr,
+        c_trial, d_trial, theta_curr, theta_trial0, alpha_primal,
+        phi_curr, grad_phi_dx,
+    ):
+        """Second-order correction (apply_second_order_correction,
+        hiopAlgFilterIPM.cpp:2949). Returns the accepted trial tuple or None."""
+        crhs = self.nlp.crhs
+        c_soc = crhs - c_curr
+        d_soc = it_curr.d - d_curr
+        alpha_soc = alpha_primal
+        theta_trial = theta_trial0
+        theta_last = 0.0
+        num_soc = 0
+        while num_soc < self.max_soc_iter and (num_soc == 0 or theta_trial <= self.kappa_soc * theta_last):
+            theta_last = theta_trial
+            c_soc = alpha_soc * c_soc + (crhs - c_trial)
+            d_soc = alpha_soc * d_soc + (it_curr.d - d_trial)  # note: trial d iterate == curr d + alpha*dd
+            res_soc = resid._replace(ryc=c_soc, ryd=d_soc)
+            rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(res_soc, it_curr, b)
+            dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(kdata, rx_t, rd_t, ryc, ryd)
+            dir_soc = res_mod.recover_direction(res_soc, it_curr, b, dx, dd, dyc, dyd)
+            ap, ad = it_mod.fraction_to_the_boundary(it_curr, dir_soc, tau, b)
+            alpha_soc, alpha_dual_soc = float(ap), float(ad)
+            it_trial = it_mod.take_step_primals(it_curr, dir_soc, alpha_soc)
+            it_trial, _ = it_mod.compute_safe_slacks(it_trial, it_curr, b, mu)
+            f_trial, c_trial, d_trial = self._eval_f_cons(it_trial.x)
+            theta_trial = self._theta_onenorm(it_trial, c_trial, d_trial)
+            phi_trial = self._logbar_f(it_trial, f_trial, b, mu)
+            ls = self._accept_line_search_conditions(
+                theta_curr, theta_trial, phi_curr, phi_trial, alpha_primal, grad_phi_dx
+            )
+            if ls > 0:
+                return (
+                    it_trial, f_trial, c_trial, d_trial, theta_trial,
+                    phi_trial, alpha_soc, alpha_dual_soc, dir_soc, ls,
+                )
+            num_soc += 1
+        return None
+
+
+class FilterIPMNewton(FilterIPMBase):
+    """IPM with exact second order (hiopAlgFilterIPMNewton, hpp:446).
+
+    Lands with the sparse/condensed KKT classes (SURVEY.md §7 stage 3)."""
+
+    def run(self) -> SolverResult:  # pragma: no cover - stage 3
+        raise NotImplementedError(
+            "FilterIPMNewton requires the sparse/condensed KKT classes (in progress)"
+        )

@@ -1,0 +1,51 @@
+"""Integration tests: ported reference Dense driver examples with selfcheck
+objectives (reference tier-2 test strategy, SURVEY.md §4.2)."""
+
+import numpy as np
+import pytest
+
+import examples.dense_ex1 as ex1
+import examples.dense_ex2 as ex2
+import examples.dense_ex3 as ex3
+
+
+def _rel(a, b):
+    return abs((a - b) / (1 + abs(b)))
+
+
+def test_dense_ex1_selfcheck_500():
+    r = ex1.solve(500, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex1.SELFCHECK[500]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_dense_ex1_distorted_mesh():
+    r = ex1.solve(500, ratio=0.2, verbosity_level=0)
+    assert r.status.is_success
+
+
+def test_dense_ex2_selfcheck_500():
+    r = ex2.solve(500, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex2.SELFCHECK[500]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_dense_ex2_unconstrained():
+    r = ex2.solve(500, unconstrained=True, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex2.SELFCHECK_UNCON[500]
+    assert _rel(r.obj, ref) <= 1e-5
+
+
+def test_dense_ex3_fixed_vars_relax():
+    r = ex3.solve(500, fixed_var="relax", verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex3.SELFCHECK[500]
+    assert _rel(r.obj, ref) <= 1e-5
+
+
+def test_dense_ex3_requires_fixed_var_option():
+    with pytest.raises(ValueError):
+        ex3.solve(500, fixed_var="none", verbosity_level=0)
