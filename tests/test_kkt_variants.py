@@ -1,0 +1,77 @@
+"""KKT-class variants (condensed/normaleqn), Krylov solvers, outer IR, FR."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import examples.sparse_ex1 as sx1
+from hiop_tpu import (
+    AutoDiffNlpProblem,
+    FilterIPMNewton,
+    NlpDenseConstraints,
+    NlpOptions,
+    SolveStatus,
+)
+from hiop_tpu.linalg import krylov
+
+
+def _rel(a, b):
+    return abs((a - b) / (1 + abs(b)))
+
+
+def test_condensed_kkt_sparse_ex1():
+    r = sx1.solve(50, verbosity_level=0, KKTLinsys="condensed")
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= 1e-5  # equality relaxation perturbs slightly
+
+
+def test_normaleqn_kkt_sparse_ex1():
+    r = sx1.solve(50, verbosity_level=0, KKTLinsys="normaleqn")
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_pcg_solves_spd_system():
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((20, 20))
+    A = jnp.asarray(A @ A.T + 20 * np.eye(20))
+    x_true = jnp.asarray(rng.standard_normal(20))
+    b = A @ x_true
+    x, info = krylov.pcg(lambda v: A @ v, b, tol=1e-12, maxit=100)
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-8)
+
+
+def test_bicgstab_solves_nonsym_system():
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.standard_normal((15, 15)) + 15 * np.eye(15))
+    x_true = jnp.asarray(rng.standard_normal(15))
+    b = A @ x_true
+    x, info = krylov.bicgstab(lambda v: A @ v, b, tol=1e-12, maxit=200)
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-7)
+
+
+def test_krylov_over_pytrees():
+    # operator acting diagonally on a dict pytree
+    scale = {"a": jnp.asarray([2.0, 4.0]), "b": jnp.asarray([[8.0]])}
+    b = {"a": jnp.asarray([2.0, 8.0]), "b": jnp.asarray([[16.0]])}
+    mv = lambda v: {k: scale[k] * v[k] for k in v}
+    x, info = krylov.pcg(mv, b, tol=1e-14, maxit=10)
+    assert info.converged
+    assert np.allclose(np.asarray(x["a"]), [1.0, 2.0])
+    assert np.allclose(np.asarray(x["b"]), [[2.0]])
+
+
+def test_force_resto_recovers():
+    r = sx1.solve(50, verbosity_level=0, force_resto="yes")
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= 1e-5
+
+
+def test_outer_ir_can_be_disabled():
+    r = sx1.solve(50, verbosity_level=0, ir_outer_maxit=0)
+    assert r.status.is_success

@@ -1,0 +1,128 @@
+"""Newton-path tests: exact-Hessian IPM, regularization, sparse examples."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiop_tpu import (
+    AutoDiffNlpProblem,
+    FilterIPMNewton,
+    NlpDenseConstraints,
+    NlpOptions,
+)
+
+import examples.sparse_ex1 as sx1
+import examples.sparse_ex2 as sx2
+
+
+def _solve_newton(problem, **opts):
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", **opts)
+    nlp = NlpDenseConstraints(problem, o)
+    return FilterIPMNewton(nlp).run()
+
+
+def _rel(a, b):
+    return abs((a - b) / (1 + abs(b)))
+
+
+def test_newton_equality_qp():
+    n = 6
+    p = AutoDiffNlpProblem(
+        f=lambda x: 0.5 * jnp.sum(x**2),
+        c=lambda x: jnp.sum(x)[None],
+        xl=-1e20 * np.ones(n),
+        xu=1e20 * np.ones(n),
+        cl=np.array([1.0]),
+        cu=np.array([1.0]),
+        x0=np.zeros(n),
+    )
+    r = _solve_newton(p)
+    assert r.status.is_success
+    assert np.allclose(r.x, 1.0 / n, atol=1e-7)
+
+
+def test_newton_rosenbrock_bounded():
+    # nonconvex: Rosenbrock with bounds; regularization loop must engage
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+    n = 8
+    p = AutoDiffNlpProblem(
+        f=rosen,
+        c=None,
+        xl=-2.0 * np.ones(n),
+        xu=2.0 * np.ones(n),
+        cl=np.zeros(0),
+        cu=np.zeros(0),
+        x0=-1.2 * np.ones(n),
+    )
+    r = _solve_newton(p, max_iter=300)
+    assert r.status.is_success
+    assert np.allclose(r.x, 1.0, atol=1e-5)
+
+
+def test_newton_inequality_nonconvex():
+    n = 5
+    p = AutoDiffNlpProblem(
+        f=lambda x: jnp.sum(jnp.cos(x) + 0.1 * x**2),
+        c=lambda x: jnp.sum(x)[None],
+        xl=-5.0 * np.ones(n),
+        xu=5.0 * np.ones(n),
+        cl=np.array([-1e20]),
+        cu=np.array([10.0]),
+        x0=np.zeros(n),
+    )
+    r = _solve_newton(p, max_iter=200)
+    assert r.status.is_success
+
+
+def test_newton_stable_mode():
+    n = 4
+    p = AutoDiffNlpProblem(
+        f=lambda x: 0.5 * jnp.sum((x - 2.0) ** 2),
+        c=lambda x: jnp.sum(x)[None],
+        xl=-1e20 * np.ones(n),
+        xu=1e20 * np.ones(n),
+        cl=np.array([-1e20]),
+        cu=np.array([1.0]),
+        x0=np.zeros(n),
+    )
+    r = _solve_newton(p, linsol_mode="stable")
+    assert r.status.is_success
+    assert np.allclose(r.x, 0.25, atol=1e-6)
+
+
+def test_sparse_ex1_selfcheck():
+    r = sx1.solve(50, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_sparse_ex1_inertia_free():
+    r = sx1.solve(50, verbosity_level=0, fact_acceptor="inertia_free")
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_sparse_ex2_rank_deficient():
+    r = sx2.solve(50, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = sx2.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_sparse_ex2_convex_no_rankdef():
+    r = sx2.solve(
+        50, verbosity_level=0,
+        convex_obj=True, rankdefic_eq=False, rankdefic_ineq=False,
+    )
+    assert r.status.is_success
+
+
+def test_newton_duals_update_forced_linear():
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact")
+    assert o.str_("duals_update_type") == "linear"
