@@ -1,0 +1,87 @@
+"""Distributed (sharded) solver tests on the 8-device virtual CPU mesh.
+
+The reference's equivalence methodology (SURVEY.md §4.3): the same problem
+solved single-device and sharded must produce the same iteration trajectory
+(objective/iterations) to tight tolerance — MPI 2-rank runs vs serial in
+the reference, mesh-sharded vs single-chip here."""
+
+import numpy as np
+import jax
+import pytest
+
+import examples.dense_ex1 as ex1
+import examples.dense_ex2 as ex2
+from hiop_tpu import FilterIPMQuasiNewton, NlpDenseConstraints, NlpOptions
+from hiop_tpu.parallel.mesh import make_mesh, shard_formulation, shard_n
+
+
+needs_multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _solve_sharded(problem, n_devices, **opts):
+    o = NlpOptions()
+    o.update(verbosity_level=0, **opts)
+    nlp = NlpDenseConstraints(problem, o)
+    mesh = make_mesh(n_devices)
+    shard_formulation(nlp, mesh)
+    return FilterIPMQuasiNewton(nlp).run()
+
+
+def _solve_single(problem, **opts):
+    o = NlpOptions()
+    o.update(verbosity_level=0, **opts)
+    nlp = NlpDenseConstraints(problem, o)
+    return FilterIPMQuasiNewton(nlp).run()
+
+
+@needs_multi
+def test_dense_ex1_sharded_matches_single():
+    r1 = _solve_single(ex1.DenseConsEx1(512))
+    r8 = _solve_sharded(ex1.DenseConsEx1(512), 8)
+    assert r8.status.is_success
+    # same math, same trajectory up to reduction-order roundoff
+    assert r8.iterations == r1.iterations
+    assert abs(r8.obj - r1.obj) <= 1e-9 * (1 + abs(r1.obj))
+
+
+@needs_multi
+def test_dense_ex2_sharded_matches_single():
+    r1 = _solve_single(ex2.DenseConsEx2(512))
+    r8 = _solve_sharded(ex2.DenseConsEx2(512), 8)
+    assert r8.status.is_success
+    assert abs(r8.obj - r1.obj) <= 1e-7 * (1 + abs(r1.obj))
+
+
+@needs_multi
+def test_sharded_iterate_stays_sharded():
+    """The x-sized leaves must remain sharded through a solve (no silent
+    gather-to-host)."""
+    o = NlpOptions()
+    o.update(verbosity_level=0, max_iter=3)
+    nlp = NlpDenseConstraints(ex1.DenseConsEx1(512), o)
+    mesh = make_mesh(8)
+    shard_formulation(nlp, mesh)
+    x0 = nlp.get_starting_point()
+    assert len(x0.sharding.device_set) == 8
+
+
+@needs_multi
+def test_psum_microbenchmark_runs():
+    from hiop_tpu.parallel import collectives_bench
+
+    mesh = make_mesh(8)
+    res = collectives_bench.run(mesh, base_count=1024, num_sizes=2, reps=2)
+    assert len(res) == 2
+    assert all(dt > 0 for _, dt in res)
+
+
+@needs_multi
+def test_sharded_reduction_is_replicated_scalar():
+    mesh = make_mesh(8)
+    import jax.numpy as jnp
+
+    x = shard_n(mesh, jnp.arange(512, dtype=jnp.float64))
+    s = jnp.sum(x)
+    assert float(s) == 512 * 511 / 2
