@@ -91,6 +91,10 @@ class NlpFormulation:
                 xu = np.where(fixed, xu + pert * w, xu)
 
         # --- bound relaxation (hiopBoundsRelaxer, bound_relax_perturb) -----
+        # keep the pristine bounds so elastic mode can re-relax with a
+        # different perturbation later (reset_bounds)
+        self._xl_pristine = xl.copy()
+        self._xu_pristine = xu.copy()
         brp = self.options.num("bound_relax_perturb")
         if brp > 0:
             xl = np.where(xl > -INF, xl - brp * np.maximum(1.0, np.abs(xl)), xl)
@@ -115,6 +119,8 @@ class NlpFormulation:
         crhs = cl[self.eq_idx]
         dl = cl[self.ineq_idx]
         du = cu[self.ineq_idx]
+        self._dl_pristine = dl.copy()
+        self._du_pristine = du.copy()
         if brp > 0 and self.m_ineq:
             dl = np.where(dl > -INF, dl - brp * np.maximum(1.0, np.abs(dl)), dl)
             du = np.where(du < INF, du + brp * np.maximum(1.0, np.abs(du)), du)
@@ -145,6 +151,27 @@ class NlpFormulation:
         self._scale_cons = np.ones(self.m)
         self._scaling_done = self.options.str_("scaling_type") == "none"
         self._finalized = True
+
+    def reset_bounds(self, perturb: float) -> None:
+        """Re-relax the pristine bounds with a new perturbation (elastic
+        mode; reference hiopNlpFormulation::reset_bounds used by
+        update_log_barrier_params)."""
+        xl = self._xl_pristine.copy()
+        xu = self._xu_pristine.copy()
+        dl = self._dl_pristine.copy()
+        du = self._du_pristine.copy()
+        if perturb > 0:
+            xl = np.where(xl > -INF, xl - perturb * np.maximum(1.0, np.abs(xl)), xl)
+            xu = np.where(xu < INF, xu + perturb * np.maximum(1.0, np.abs(xu)), xu)
+            dl = np.where(dl > -INF, dl - perturb * np.maximum(1.0, np.abs(dl)), dl)
+            du = np.where(du < INF, du + perturb * np.maximum(1.0, np.abs(du)), du)
+        b = self.bounds
+        self.bounds = b._replace(
+            xl=jnp.asarray(np.where(np.asarray(b.ixl) == 1.0, xl, 0.0)),
+            xu=jnp.asarray(np.where(np.asarray(b.ixu) == 1.0, xu, 0.0)),
+            dl=jnp.asarray(np.where(np.asarray(b.idl) == 1.0, dl, 0.0)),
+            du=jnp.asarray(np.where(np.asarray(b.idu) == 1.0, du, 0.0)),
+        )
 
     # --------------------------------------------------------------- scaling
     def _setup_scaling(self, grad_f0: np.ndarray, jac0_row_norms: np.ndarray):

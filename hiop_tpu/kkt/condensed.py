@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hiop_tpu.linalg.cholesky import cholesky as _chol
+
 
 class CondensedFactors(NamedTuple):
     Lk: jax.Array        # chol(K)
@@ -40,7 +42,7 @@ def factorize(H, Dx, Dd, Jd, delta_wx, delta_wd, delta_cd):
     T = 1.0 / (1.0 + delta_cd * dd_tot)
     dd_tilde = dd_tot * T
     K = H + jnp.diag(Dx + delta_wx) + (Jd.T * dd_tilde) @ Jd
-    Lk = jnp.linalg.cholesky(K)
+    Lk = _chol(K)
     ok = jnp.all(jnp.isfinite(Lk))
     Lk_safe = jnp.where(ok, Lk, jnp.eye(n, dtype=K.dtype))
     return CondensedFactors(Lk_safe, Jd, dd_tot, T, ok)

@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hiop_tpu.linalg.cholesky import cholesky as _chol
+
 
 class MdsFactors(NamedTuple):
     ks_inv: jax.Array   # (n_s,) inverse of the diagonal sparse block
@@ -58,7 +60,7 @@ def factorize(
     ks_inv = jnp.where(ks > 0, 1.0 / jnp.maximum(ks, 1e-300), 0.0)
 
     Kd = Hdd + jnp.diag(Dxd + delta_wx)
-    Ld = jnp.linalg.cholesky(Kd)
+    Ld = _chol(Kd)
     ok_kd = jnp.all(jnp.isfinite(Ld))
     ok_k = ok_ks & ok_kd
     Ld_safe = jnp.where(ok_kd, Ld, jnp.eye(nd, dtype=dt))
@@ -72,7 +74,7 @@ def factorize(
     S = (Js * ks_inv) @ Js.T + Jdn @ KdinvJT + jnp.diag(
         jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
     )
-    Ls = jnp.linalg.cholesky(S)
+    Ls = _chol(S)
     diag_s = jnp.diag(Ls)
     scale_s = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(S)), 1e-300)) if mc + md else 1.0
     tiny = (

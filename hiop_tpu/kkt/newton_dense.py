@@ -32,6 +32,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hiop_tpu.linalg.cholesky import cholesky as _chol
+
 
 class QuickFactors(NamedTuple):
     Lk: jax.Array        # chol(K), (n, n)
@@ -50,7 +52,7 @@ def factorize_quick(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     n = H.shape[0]
     mc, md = Jc.shape[0], Jd.shape[0]
     K = H + jnp.diag(Dx + delta_wx)
-    Lk = jnp.linalg.cholesky(K)
+    Lk = _chol(K)
     ok_k = jnp.all(jnp.isfinite(Lk))
     Lk_safe = jnp.where(ok_k, Lk, jnp.eye(n, dtype=K.dtype))
 
@@ -61,7 +63,7 @@ def factorize_quick(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     S = J @ KinvJT + jnp.diag(
         jnp.concatenate([jnp.full((mc,), delta_cc, K.dtype), dd_inv + delta_cd])
     )
-    Ls = jnp.linalg.cholesky(S)
+    Ls = _chol(S)
     # guard against a numerically PSD-but-singular Schur complement whose
     # Cholesky happens to succeed: tiny pivots flag singularity too
     diag_s = jnp.diag(Ls)

@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hiop_tpu.linalg.cholesky import cholesky as _chol
+
 
 class NormalEqnFactors(NamedTuple):
     Ls: jax.Array      # chol of the m x m system
@@ -41,7 +43,7 @@ def factorize(h_diag, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     S = (J * hx_inv) @ J.T + jnp.diag(
         jnp.concatenate([jnp.full((mc,), delta_cc, J.dtype), dd_inv + delta_cd])
     )
-    Ls = jnp.linalg.cholesky(S)
+    Ls = _chol(S)
     ok = ok_h & jnp.all(jnp.isfinite(Ls))
     Ls_safe = jnp.where(ok, Ls, jnp.eye(mc + md, dtype=J.dtype))
     return NormalEqnFactors(Ls_safe, Jc, Jd, hx_inv, dd_inv, ok)

@@ -145,6 +145,11 @@ class _NewtonDenseStrategy:
         self.ir_maxit = o.integer("ir_outer_maxit")
         self.ir_tol_factor = o.num("ir_outer_tol_factor")
         self.ir_tol_min = o.num("ir_outer_tol_min")
+        # mixed precision (ReSolve pattern): factorize in f32 on the MXU,
+        # refine the direction in f64 via the outer IR
+        self._fact_dtype_opt = (
+            jnp.float32 if o.str_("kkt_fact_dtype") == "float32" else jnp.float64
+        )
         self._H = None
         self._Dx = self._Dd = None
         self._Jc = self._Jd = None
@@ -163,40 +168,63 @@ class _NewtonDenseStrategy:
         self._factors = None
 
     # -- factorization ----------------------------------------------------
+    @property
+    def fact_dtype(self):
+        """Effective factorization dtype: f32 only while the barrier
+        parameter is large enough that the KKT conditioning (~1/mu from the
+        log-barrier diagonal) fits f32; switch to f64 as mu -> 0. This is
+        the practical mixed-precision schedule for condensed IPM systems
+        (cf. the ReSolve/condensed-IPM-on-GPU literature, PAPERS.md)."""
+        if self._fact_dtype_opt == jnp.float64:
+            return jnp.float64
+        return jnp.float32 if self._mu >= 1e-4 else jnp.float64
+
+    def _cast(self, a):
+        return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
+
     def _factorize(self):
         p = self.perturb
+        if self.fact_dtype != jnp.float64:
+            H, Dx, Dd = self._cast(self._H), self._cast(self._Dx), self._cast(self._Dd)
+            Jc, Jd = self._cast(self._Jc), self._cast(self._Jd)
+        else:
+            H, Dx, Dd, Jc, Jd = self._H, self._Dx, self._Dd, self._Jc, self._Jd
         with self.stats.kkt.tm_update_fact:
             if self.kkt_kind == "condensed":
-                f = kkt_cond.factorize(
-                    self._H, self._Dx, self._Dd, self._Jd,
-                    p.delta_wx, p.delta_wd, p.delta_cd,
+                return kkt_cond.factorize(
+                    H, Dx, Dd, Jd, p.delta_wx, p.delta_wd, p.delta_cd
                 )
-            elif self.kkt_kind == "normaleqn":
-                f = kkt_ne.factorize(
-                    jnp.diag(self._H), self._Dx, self._Dd, self._Jc, self._Jd,
+            if self.kkt_kind == "normaleqn":
+                return kkt_ne.factorize(
+                    jnp.diag(H), Dx, Dd, Jc, Jd,
                     p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
                 )
-            elif self._safe_mode:
-                f = kkt_nd.factorize_safe(
-                    self._H, self._Dx, self._Dd, self._Jc, self._Jd,
+            if self._safe_mode:
+                return kkt_nd.factorize_safe(
+                    H, Dx, Dd, Jc, Jd,
                     p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
                 )
-            else:
-                f = kkt_nd.factorize_quick(
-                    self._H, self._Dx, self._Dd, self._Jc, self._Jd,
-                    p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
-                )
-        return f
+            return kkt_nd.factorize_quick(
+                H, Dx, Dd, Jc, Jd,
+                p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+            )
 
     def _solve_factors(self, f, rx_t, rd_t, ryc, ryd):
+        if self.fact_dtype != jnp.float64:
+            rx_t, rd_t = self._cast(rx_t), self._cast(rd_t)
+            ryc, ryd = self._cast(ryc), self._cast(ryd)
         if self.kkt_kind == "condensed":
             dx, dd, dyd = kkt_cond.solve(f, rx_t, rd_t, ryd, self.perturb.delta_cd)
-            return dx, dd, jnp.zeros_like(ryc), dyd
-        if self.kkt_kind == "normaleqn":
-            return kkt_ne.solve(f, rx_t, rd_t, ryc, ryd)
-        if self._safe_mode:
-            return kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
-        return kkt_nd.solve_quick(f, rx_t, rd_t, ryc, ryd)
+            out = dx, dd, jnp.zeros_like(ryc), dyd
+        elif self.kkt_kind == "normaleqn":
+            out = kkt_ne.solve(f, rx_t, rd_t, ryc, ryd)
+        elif self._safe_mode:
+            out = kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
+        else:
+            out = kkt_nd.solve_quick(f, rx_t, rd_t, ryc, ryd)
+        if self.fact_dtype != jnp.float64:
+            out = tuple(a.astype(jnp.float64) for a in out)
+        return out
 
     def _factorization_acceptable(self, f) -> Tuple[bool, bool]:
         """Returns (acceptable, singular)."""
@@ -459,6 +487,12 @@ class FilterIPMBase:
         self.max_soc_iter = o.integer("max_soc_iter")
         self.kappa_soc = o.num("kappa_soc")
 
+        # kernel-dispatch backend (exec_policies: the reference's ExecSpace
+        # policy axis maps to XLA-vs-Pallas kernel selection)
+        from hiop_tpu.linalg import cholesky as chol_mod
+
+        chol_mod.set_backend("pallas" if o.str_("exec_policies") == "pallas" else "xla")
+
         self.filter = Filter()
         self.theta_max = 1e7
         self.theta_min = 1e7
@@ -653,9 +687,32 @@ class FilterIPMBase:
             vl=b.idl * 1.0, vu=b.idu * 1.0,
         )
         it_curr = it_mod.determine_slacks(it_curr, b)
+        # warm start: user-provided primal-dual point (hiopInterface
+        # get_warmstart_point; option warm_start)
+        warm = None
+        if o.str_("warm_start") == "yes":
+            warm = nlp.problem.get_warmstart_point()
+        if warm is not None:
+            wx, wzl, wzu, wyc, wyd, wd, wvl, wvu = (
+                jnp.asarray(a) if a is not None else None for a in warm
+            )
+            x0, d0 = it_mod.starting_point_primal(
+                wx, wd if wd is not None else d0, b, self.kappa1, self.kappa2
+            )
+            f, c, d_eval = self._eval_f_cons(x0)
+            it_curr = it_curr._replace(
+                x=x0, d=d0,
+                zl=jnp.where(b.ixl == 1.0, jnp.maximum(wzl, 1e-12), 0.0),
+                zu=jnp.where(b.ixu == 1.0, jnp.maximum(wzu, 1e-12), 0.0),
+                vl=jnp.where(b.idl == 1.0, jnp.maximum(wvl, 1e-12), 0.0) if wvl is not None else it_curr.vl,
+                vu=jnp.where(b.idu == 1.0, jnp.maximum(wvu, 1e-12), 0.0) if wvu is not None else it_curr.vu,
+                yc=wyc if wyc is not None else it_curr.yc,
+                yd=wyd if wyd is not None else it_curr.yd,
+            )
+            it_curr = it_mod.determine_slacks(it_curr, b)
         grad_f = nlp.eval_grad_f(x0)
         Jc, Jd = nlp.eval_jac(x0)
-        if o.str_("duals_init") == "lsq":
+        if warm is None and o.str_("duals_init") == "lsq":
             yc, yd = du.initial_duals_lsq(
                 Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
                 o.num("duals_lsq_ini_max"),
@@ -668,6 +725,22 @@ class FilterIPMBase:
         self.theta_max = self.theta_max_fact * max(1.0, theta0)
         self.theta_min = self.theta_min_fact * max(1.0, theta0)
         self.filter.reinitialize(self.theta_max)
+
+        # checkpoint restore (checkpoint_load_on_start, cpp:1001-1034)
+        ckpt_file = o.str_("checkpoint_file")
+        if o.str_("checkpoint_load_on_start") == "yes":
+            restored = self._try_restore_checkpoint(ckpt_file, strategy)
+            if restored is not None:
+                it_curr, mu = restored
+                tau = max(self.tau_min, 1.0 - mu)
+                f, c, d_eval = self._eval_f_cons(it_curr.x)
+                grad_f = nlp.eval_grad_f(it_curr.x)
+                Jc, Jd = nlp.eval_jac(it_curr.x)
+                resid, norms = self._update_residual(
+                    it_curr, c, d_eval, grad_f, Jc, Jd, b, mu
+                )
+        ckpt_save = o.str_("checkpoint_save") == "yes"
+        ckpt_every = o.integer("checkpoint_save_every_N_iter")
 
         alpha_primal = alpha_dual = 0.0
         ls_status, ls_num, use_soc = -1, 0, 0
@@ -729,14 +802,36 @@ class FilterIPMBase:
                     self.filter.reinitialize(self.theta_max)
 
             # ------------- mu update loop (cpp:1168) -----------------------
+            elastic_mode = o.str_("elastic_mode")
             while err_log <= self.kappa_eps * mu:
                 changed, mu, tau = self._update_mu(mu)
                 if not changed:
                     break
                 self.log.printf(Verbosity.SCALARS, "barrier params reduced: mu=%g tau=%g", mu, tau)
+                if elastic_mode != "none":
+                    # tighten the bound relaxation as mu decreases
+                    # (update_log_barrier_params elastic branch)
+                    brp_ini = o.num("elastic_mode_bound_relax_initial")
+                    brp_min = o.num("elastic_mode_bound_relax_final")
+                    if o.str_("elastic_bound_strategy") == "mu_scaled":
+                        brp = 0.995 * mu
+                    else:  # mu_projected
+                        brp = (mu - self.eps_tol) / max(self.mu0 - self.eps_tol, 1e-300) * (
+                            brp_ini - brp_min
+                        ) + brp_min
+                    brp = min(max(brp, brp_min), brp_ini)
+                    nlp.reset_bounds(brp)
+                    b = nlp.bounds
+                    if elastic_mode != "tighten_bound":
+                        it_curr, n_adj = it_mod.compute_safe_slacks(it_curr, it_curr, b, mu)
+                        if int(n_adj) > 0:
+                            it_curr = it_mod.adjust_duals(it_curr, b, mu, self.kappa_Sigma)
                 resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
                 err_nlp, err_log, cons_viol = self._errors(it_curr, norms)
                 self.filter.reinitialize(self.theta_max)
+                if elastic_mode != "none":
+                    # reduce mu only once per iteration under elastic mode
+                    break
 
             # ------------- search direction --------------------------------
             stats.kkt.start_iter()
@@ -745,10 +840,39 @@ class FilterIPMBase:
                 dir_, _dir_ok = strategy.compute_direction(resid, it_curr, b)
             if o.str_("time_kkt") == "on":
                 self.log.printf(Verbosity.SUMMARY, "%s", stats.kkt.summary_last_iter())
+            if o.str_("write_kkt") == "yes":
+                from hiop_tpu.utils.kkt_io import dump_kkt
+
+                Dx_dump, Dd_dump = res_mod.barrier_diagonals(it_curr, b)
+                dump_kkt(
+                    "hiop_tpu", self.iter_num,
+                    H=getattr(strategy, "_H", None), Dx=Dx_dump, Dd=Dd_dump,
+                    Jc=Jc, Jd=Jd,
+                    rx=resid.rx, rd=resid.rd, ryc=resid.ryc, ryd=resid.ryd,
+                    dx=dir_.x, dd=dir_.d, dyc=dir_.yc, dyd=dir_.yd,
+                    mu=jnp.asarray(mu),
+                )
+            if o.str_("deepchecks") == "yes":
+                self._deepchecks(it_curr, dir_, b)
 
             # ------------- line search -------------------------------------
             ap, ad = it_mod.fraction_to_the_boundary(it_curr, dir_, tau, b)
             alpha_primal, alpha_dual = float(ap), float(ad)
+            # moving limits (ensure_moving_lims): cap the primal step so
+            # |alpha*dx_i| <= lim_abs + lim_rel*|x_i| when enabled
+            lim_abs = o.num("moving_lim_abs")
+            lim_rel = o.num("moving_lim_rel")
+            if lim_abs > 0 or lim_rel > 0:
+                cap = lim_abs + lim_rel * jnp.abs(it_curr.x)
+                dmax = jnp.max(jnp.abs(dir_.x))
+                if float(dmax) > 0:
+                    alpha_cap = float(jnp.min(cap / jnp.maximum(jnp.abs(dir_.x), 1e-300)))
+                    if alpha_cap < alpha_primal:
+                        alpha_primal = max(alpha_cap, self.min_step_size)
+                        self.log.printf(
+                            Verbosity.SCALARS,
+                            "moving limits reduced alpha_primal to %g", alpha_primal,
+                        )
             theta_curr = self._theta_onenorm(it_curr, c, d_eval)
             phi_curr = self._logbar_f(it_curr, f, b, mu)
             gx, gd = self._logbar_grads(it_curr, grad_f, b, mu)
@@ -889,6 +1013,10 @@ class FilterIPMBase:
             f, c, d_eval = f_trial, c_trial, d_trial
             resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
 
+            # periodic checkpoint (checkpointing_stuff, cpp:1152-1155)
+            if ckpt_save and self.iter_num % ckpt_every == 0:
+                self.save_state_to_file(ckpt_file, it_curr, mu, strategy)
+
         # ---------------- wrap up ------------------------------------------
         obj = nlp.unscaled_obj(f)
         nlp.user_callback_solution(
@@ -910,6 +1038,89 @@ class FilterIPMBase:
             err_nlp=err_nlp,
             mu=mu,
         )
+
+    # ------------------------------------------------------------ deepchecks
+    def _deepchecks(self, it_curr: Iterate, dir_: Iterate, b: Bounds) -> None:
+        """Runtime numerical sanitizer (HIOP_DEEPCHECKS semantics): direction
+        finiteness, slack positivity on-pattern, dual pattern matching."""
+        import jax
+
+        for name in Iterate._fields:
+            v = getattr(dir_, name)
+            if not bool(jnp.all(jnp.isfinite(v))):
+                self.log.printf(
+                    Verbosity.WARNING, "deepchecks: non-finite entries in direction %s", name
+                )
+        checks = [
+            ("sxl", it_curr.sxl, b.ixl), ("sxu", it_curr.sxu, b.ixu),
+            ("sdl", it_curr.sdl, b.idl), ("sdu", it_curr.sdu, b.idu),
+        ]
+        for name, s, pat in checks:
+            ok = bool(jnp.all(jnp.where(pat == 1.0, s > 0, True)))
+            if not ok:
+                self.log.printf(
+                    Verbosity.WARNING, "deepchecks: non-positive slack %s on pattern", name
+                )
+        for name, z, pat in [
+            ("zl", it_curr.zl, b.ixl), ("zu", it_curr.zu, b.ixu),
+            ("vl", it_curr.vl, b.idl), ("vu", it_curr.vu, b.idu),
+        ]:
+            ok = bool(jnp.all(jnp.where(pat == 0.0, z == 0.0, True)))
+            if not ok:
+                self.log.printf(
+                    Verbosity.WARNING, "deepchecks: dual %s does not match its pattern", name
+                )
+
+    # --------------------------------------------------------- checkpointing
+    def _collect_checkpoint(self, it_curr: Iterate, mu: float, strategy) -> dict:
+        state = {
+            "n": self.nlp.n, "m_eq": self.nlp.m_eq, "m_ineq": self.nlp.m_ineq,
+            "mu": float(mu), "iter_num": int(self.iter_num),
+            "theta_max": float(self.theta_max), "theta_min": float(self.theta_min),
+            "filter_entries": self.filter._entries,
+        }
+        for name in Iterate._fields:
+            state[f"it_{name}"] = np.asarray(getattr(it_curr, name))
+        if isinstance(strategy, _LowRankStrategy):
+            state["bfgs_S"] = np.asarray(strategy.bfgs.S)
+            state["bfgs_Y"] = np.asarray(strategy.bfgs.Y)
+            state["bfgs_active"] = np.asarray(strategy.bfgs.active)
+            state["bfgs_sigma"] = float(strategy.bfgs.sigma)
+        return state
+
+    def save_state_to_file(self, path: str, it_curr: Iterate, mu: float, strategy) -> None:
+        """Explicit checkpoint API (hiopAlgFilterIPM.hpp:399-421)."""
+        from hiop_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_state(path, self._collect_checkpoint(it_curr, mu, strategy))
+
+    def _try_restore_checkpoint(self, path: str, strategy):
+        """Returns (it_curr, mu) or None."""
+        from hiop_tpu.utils import checkpoint as ckpt
+
+        import os
+
+        if not os.path.exists(path):
+            self.log.printf(Verbosity.WARNING, "checkpoint file %s not found", path)
+            return None
+        state = ckpt.load_state(path)
+        ckpt.validate(state, self.nlp.n, self.nlp.m_eq, self.nlp.m_ineq)
+        it_curr = Iterate(*(jnp.asarray(state[f"it_{n}"]) for n in Iterate._fields))
+        self.iter_num = int(state["iter_num"])
+        self.theta_max = float(state["theta_max"])
+        self.theta_min = float(state["theta_min"])
+        self.filter._entries = list(state.get("filter_entries", []))
+        if isinstance(strategy, _LowRankStrategy) and "bfgs_S" in state:
+            strategy.bfgs = blr.BfgsState(
+                S=jnp.asarray(state["bfgs_S"]),
+                Y=jnp.asarray(state["bfgs_Y"]),
+                active=jnp.asarray(state["bfgs_active"]),
+                sigma=jnp.asarray(state["bfgs_sigma"]),
+            )
+        self.log.printf(
+            Verbosity.SUMMARY, "restored checkpoint %s at iteration %d", path, self.iter_num
+        )
+        return it_curr, float(state["mu"])
 
     # -------------------------------------------------------------- helpers
     def _update_residual(self, it: Iterate, c, d_eval, grad_f, Jc, Jd, b: Bounds, mu):

@@ -353,6 +353,11 @@ class NlpOptions(OptionsBase):
         # --- TPU-native additions ------------------------------------------
         rs("kkt_fact_dtype", "float64", ["float32", "float64"],
            "dtype of the KKT factorization; float32 pairs with f64 iterative refinement")
+        rs("deepchecks", "no", ["yes", "no"],
+           "runtime numerical sanitizer: verify KKT-solve residuals, direction "
+           "finiteness, and slack/dual pattern invariants each iteration "
+           "(the reference's compile-time HIOP_DEEPCHECKS as a runtime switch; "
+           "~30-40% overhead there, similar here)")
         rs("jit_mode", "kernels", ["kernels", "iteration", "off"],
            "jit granularity: individual kernels, whole fused iteration, or eager")
         ri("num_shards", 0, 0, 65536, "n-axis shards; 0 = infer from ambient mesh")

@@ -1,0 +1,38 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiop_tpu.linalg.cholesky import pallas_cholesky, cholesky, set_backend
+
+
+@pytest.mark.parametrize("n,dtype,tol", [(128, jnp.float64, 1e-10), (256, jnp.float64, 1e-10), (256, jnp.float32, 1e-3)])
+def test_pallas_cholesky_matches_xla(n, dtype, tol):
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray(A @ A.T + n * np.eye(n), dtype)
+    L = pallas_cholesky(A, interpret=True)
+    Lref = jnp.linalg.cholesky(A)
+    assert float(jnp.max(jnp.abs(L - Lref))) < tol
+    # valid lower factor
+    assert float(jnp.max(jnp.abs(jnp.tril(L) @ jnp.tril(L).T - A))) < tol * n
+
+
+def test_dispatch_falls_back_for_unaligned_sizes():
+    set_backend("pallas")
+    try:
+        A = jnp.eye(50) * 4.0
+        L = cholesky(A)  # 50 not divisible by 128 -> XLA path
+        assert np.allclose(np.asarray(jnp.diag(L)), 2.0)
+    finally:
+        set_backend("xla")
+
+
+def test_mixed_precision_factorization_solves():
+    import examples.sparse_ex1 as sx1
+
+    r = sx1.solve(50, verbosity_level=0, kkt_fact_dtype="float32")
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert abs((r.obj - ref) / (1 + ref)) <= tol
