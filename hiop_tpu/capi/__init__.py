@@ -1,0 +1,164 @@
+"""C interface loader.
+
+Parity with the reference's C/Fortran interfaces
+(/root/reference/src/Interface/hiopInterface.h, chiopInterface.cpp,
+hiopFortranInterface.*): a user problem written in C (or any language with
+a C ABI, including Fortran via iso_c_binding) is compiled to a shared
+library exporting ``hiop_tpu_get_problem`` (see capi/hiop_tpu_c.h); this
+module loads it with ctypes, wraps the function pointers into a
+:class:`hiop_tpu.SparseProblem`, and solves it with the Newton IPM —
+mirroring hiop_sparse_create_problem / hiop_sparse_solve_problem.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from hiop_tpu.interface.base import SparseProblem
+
+_F64P = ctypes.POINTER(ctypes.c_double)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+
+
+class _CProblemStruct(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("m", ctypes.c_int64),
+        ("nnz_jac", ctypes.c_int64),
+        ("nnz_hess", ctypes.c_int64),
+        ("get_vars_info", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P, _F64P)),
+        ("get_cons_info", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P, _F64P)),
+        ("get_starting_point", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P)),
+        ("eval_f", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P, _F64P)),
+        ("eval_grad_f", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P, _F64P)),
+        ("eval_cons", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, ctypes.c_int64, _F64P, _F64P)),
+        ("get_jac_structure", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _I64P, _I64P)),
+        ("get_hess_structure", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _I64P, _I64P)),
+        ("eval_jac", ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_int64, _F64P, ctypes.c_int64, _F64P)),
+        (
+            "eval_hess",
+            ctypes.CFUNCTYPE(
+                ctypes.c_int, ctypes.c_int64, _F64P, ctypes.c_double,
+                ctypes.c_int64, _F64P, ctypes.c_int64, _F64P,
+            ),
+        ),
+    ]
+
+
+def _dptr(a: np.ndarray):
+    return a.ctypes.data_as(_F64P)
+
+
+def _iptr(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+class CSparseProblem(SparseProblem):
+    """A SparseProblem backed by C callbacks (host evaluations).
+
+    Evaluations copy x to host, call the C function, and return numpy
+    arrays — the reference's ``callback_mem_space=host`` mode; the solver's
+    linear algebra still runs on device.
+    """
+
+    jittable = False
+
+    def __init__(self, lib_path: str):
+        self._dll = ctypes.CDLL(lib_path)
+        self._dll.hiop_tpu_get_problem.restype = ctypes.POINTER(_CProblemStruct)
+        self._p = self._dll.hiop_tpu_get_problem().contents
+        self.n = int(self._p.n)
+        self.m = int(self._p.m)
+        self.nnz_jac = int(self._p.nnz_jac)
+        self.nnz_hess = int(self._p.nnz_hess)
+
+    def _check(self, ret: int, what: str):
+        if ret != 0:
+            raise RuntimeError(f"C callback {what} returned {ret}")
+
+    def get_prob_sizes(self):
+        return self.n, self.m
+
+    def get_vars_info(self):
+        xl = np.empty(self.n)
+        xu = np.empty(self.n)
+        self._check(self._p.get_vars_info(self.n, _dptr(xl), _dptr(xu)), "get_vars_info")
+        return xl, xu
+
+    def get_cons_info(self):
+        cl = np.empty(self.m)
+        cu = np.empty(self.m)
+        self._check(self._p.get_cons_info(self.m, _dptr(cl), _dptr(cu)), "get_cons_info")
+        return cl, cu
+
+    def get_starting_point(self):
+        x0 = np.empty(self.n)
+        self._check(self._p.get_starting_point(self.n, _dptr(x0)), "get_starting_point")
+        return x0
+
+    def get_sparse_blocks_info(self):
+        return self.n, self.nnz_jac, self.nnz_hess
+
+    def jac_structure(self):
+        i = np.empty(self.nnz_jac, np.int64)
+        j = np.empty(self.nnz_jac, np.int64)
+        self._check(self._p.get_jac_structure(self.nnz_jac, _iptr(i), _iptr(j)), "get_jac_structure")
+        return i, j
+
+    def hess_structure(self):
+        i = np.empty(self.nnz_hess, np.int64)
+        j = np.empty(self.nnz_hess, np.int64)
+        self._check(self._p.get_hess_structure(self.nnz_hess, _iptr(i), _iptr(j)), "get_hess_structure")
+        return i, j
+
+    def eval_f(self, x):
+        xh = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        out = np.empty(1)
+        self._check(self._p.eval_f(self.n, _dptr(xh), _dptr(out)), "eval_f")
+        return out[0]
+
+    def eval_grad_f(self, x):
+        xh = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        g = np.empty(self.n)
+        self._check(self._p.eval_grad_f(self.n, _dptr(xh), _dptr(g)), "eval_grad_f")
+        return g
+
+    def eval_cons(self, x):
+        xh = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        c = np.empty(self.m)
+        self._check(self._p.eval_cons(self.n, self.m, _dptr(xh), _dptr(c)), "eval_cons")
+        return c
+
+    def eval_jac_vals(self, x):
+        xh = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        v = np.empty(self.nnz_jac)
+        self._check(self._p.eval_jac(self.n, _dptr(xh), self.nnz_jac, _dptr(v)), "eval_jac")
+        return v
+
+    def eval_hess_vals(self, x, obj_factor, lam):
+        xh = np.ascontiguousarray(np.asarray(x, dtype=np.float64))
+        lh = np.ascontiguousarray(np.asarray(lam, dtype=np.float64))
+        v = np.empty(self.nnz_hess)
+        self._check(
+            self._p.eval_hess(
+                self.n, _dptr(xh), float(obj_factor), self.m, _dptr(lh),
+                self.nnz_hess, _dptr(v),
+            ),
+            "eval_hess",
+        )
+        return v
+
+
+def solve_sparse_problem(lib_path: str, **options):
+    """hiop_sparse_create_problem + solve_problem in one call: load the C
+    problem, run the Newton IPM, return the SolverResult."""
+    from hiop_tpu import FilterIPMNewton, NlpOptions, NlpSparse
+
+    prob = CSparseProblem(lib_path)
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", **options)
+    nlp = NlpSparse(prob, o)
+    return FilterIPMNewton(nlp).run()

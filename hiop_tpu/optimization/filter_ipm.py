@@ -991,23 +991,23 @@ class FilterIPMBase:
                 f, c, d_eval = f_trial, c_trial, d_trial
                 resid, norms = self._update_residual(it_curr, c, d_eval, grad_f, Jc, Jd, b, mu)
                 continue
+            # ordering mirrors hiopDualsLsqUpdate::go: step the duals,
+            # safeguard the bound duals, THEN least-squares-recompute yc/yd
+            # from the *old* derivatives (the new derivatives are evaluated
+            # after the dual update, cpp:1463-1476)
             it_trial = it_mod.take_step_duals(it_trial, dir_, alpha_primal, alpha_dual)
+            it_trial = it_mod.adjust_duals(it_trial, b, mu, self.kappa_Sigma)
             if (
                 o.str_("duals_update_type") == "lsq"
-                and infeas_nrm_trial < o.num("recalc_lsq_duals_tol")
+                and infeas_nrm_trial <= o.num("recalc_lsq_duals_tol")
             ):
-                grad_trial = nlp.eval_grad_f(it_trial.x)
-                Jc_trial, Jd_trial = nlp.eval_jac(it_trial.x)
                 yc_new, yd_new = du.lsq_duals(
-                    Jc_trial, Jd_trial, grad_trial,
+                    Jc, Jd, grad_f,
                     it_trial.zl, it_trial.zu, it_trial.vl, it_trial.vu,
                 )
                 it_trial = it_trial._replace(yc=yc_new, yd=yd_new)
-                grad_f, Jc, Jd = grad_trial, Jc_trial, Jd_trial
-            else:
-                grad_f = nlp.eval_grad_f(it_trial.x)
-                Jc, Jd = nlp.eval_jac(it_trial.x)
-            it_trial = it_mod.adjust_duals(it_trial, b, mu, self.kappa_Sigma)
+            grad_f = nlp.eval_grad_f(it_trial.x)
+            Jc, Jd = nlp.eval_jac(it_trial.x)
 
             it_curr = it_trial
             f, c, d_eval = f_trial, c_trial, d_trial

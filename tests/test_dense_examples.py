@@ -49,3 +49,19 @@ def test_dense_ex3_fixed_vars_relax():
 def test_dense_ex3_requires_fixed_var_option():
     with pytest.raises(ValueError):
         ex3.solve(500, fixed_var="none", verbosity_level=0)
+
+
+def test_dense_ex4_selfcheck():
+    import examples.dense_ex4 as ex4
+
+    r = ex4.solve(verbosity_level=0)
+    assert r.status.is_success
+    assert _rel(r.obj, ex4.SELFCHECK_OBJ) <= 1e-6
+
+
+def test_dense_ex4_unconstrained():
+    import examples.dense_ex4 as ex4
+
+    r = ex4.solve(unconstrained=True, verbosity_level=0)
+    assert r.status.is_success
+    assert abs(r.obj - (-605.0)) < 1e-4

@@ -24,3 +24,20 @@ def test_mds_ex1_tight_convergence():
 def test_mds_ex1_small_sizes():
     r = mx1.solve(16, 4, verbosity_level=0)
     assert r.status.is_success
+
+
+def test_mds_ex2_nonconvex_selfcheck():
+    import examples.mds_ex2 as mx2
+
+    r = mx2.solve(400, 100, verbosity_level=0)
+    assert r.status.is_success
+    assert abs((r.obj - mx2.SELFCHECK_OBJ) / mx2.SELFCHECK_OBJ) <= 1e-6
+
+
+def test_mds_ex2_rank_deficient():
+    import examples.mds_ex2 as mx2
+
+    r = mx2.solve(
+        48, 12, rankdefic_eq=True, rankdefic_ineq=True, verbosity_level=0
+    )
+    assert r.status.is_success
