@@ -82,13 +82,30 @@ class NlpFormulation:
                     "fixed_var to 'relax' or 'remove' (reference behavior)"
                 )
             elif mode == "remove":
-                # Round-1: removal (a shape-changing pre-jit index transform)
-                # is handled by relaxing minimally; true removal lands with
-                # the transforms module.
+                # true removal (hiopFixedVarsRemover): wrap the problem in
+                # the reducing transform and re-run initialization on the
+                # reduced space (dense-Jacobian problems, as in the
+                # reference; others fall back to relaxation)
+                from hiop_tpu.formulation.transforms import FixedVarsRemover
+
+                if hasattr(p, "eval_jac_cons"):
+                    self.problem = FixedVarsRemover(p, fixed, 0.5 * (xl + xu))
+                    self._fixed_remover = self.problem
+                    self.log.printf(
+                        Verbosity.SUMMARY,
+                        "%d fixed variables removed from the problem",
+                        self.n_fixed_vars,
+                    )
+                    return self.finalize_initialization()
                 pert = max(self.options.num("fixed_var_perturb"), 1e-12)
                 w = np.maximum(1.0, np.maximum(np.abs(xl), np.abs(xu)))
                 xl = np.where(fixed, xl - pert * w, xl)
                 xu = np.where(fixed, xu + pert * w, xu)
+                self.log.printf(
+                    Verbosity.WARNING,
+                    "fixed_var=remove supported for dense-Jacobian problems; "
+                    "falling back to relaxation",
+                )
 
         # --- bound relaxation (hiopBoundsRelaxer, bound_relax_perturb) -----
         # keep the pristine bounds so elastic mode can re-relax with a
