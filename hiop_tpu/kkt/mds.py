@@ -77,10 +77,10 @@ def factorize(
     Ls = _chol(S)
     diag_s = jnp.diag(Ls)
     scale_s = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(S)), 1e-300)) if mc + md else 1.0
-    tiny = (
-        jnp.min(jnp.abs(diag_s), initial=jnp.inf)
-        < jnp.sqrt(jnp.finfo(dt).eps) * scale_s * 1e-2
-    )
+    thresh = jnp.sqrt(jnp.finfo(dt).eps) * scale_s * 1e-2
+    dcc = jnp.asarray(delta_cc, dt)
+    thresh = jnp.where(dcc > 0, jnp.minimum(thresh, 0.5 * jnp.sqrt(dcc)), thresh)
+    tiny = jnp.min(jnp.abs(diag_s), initial=jnp.inf) < thresh
     ok_s = jnp.all(jnp.isfinite(Ls)) & ~tiny
     ok = ok_k & ok_s
     Ls_safe = jnp.where(ok_s, Ls, jnp.eye(mc + md, dtype=dt))

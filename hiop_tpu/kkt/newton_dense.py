@@ -65,13 +65,16 @@ def factorize_quick(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     )
     Ls = _chol(S)
     # guard against a numerically PSD-but-singular Schur complement whose
-    # Cholesky happens to succeed: tiny pivots flag singularity too
+    # Cholesky happens to succeed: tiny pivots flag singularity too. Once
+    # dual regularization is applied (delta_cc > 0) the Schur complement is
+    # nonsingular by construction with pivots >= sqrt(delta_cc) — lower the
+    # threshold accordingly so the regularized system is accepted.
     diag_s = jnp.diag(Ls)
     scale_s = jnp.sqrt(jnp.maximum(jnp.max(jnp.abs(S)), 1e-300)) if mc + md else 1.0
-    tiny_pivot = (
-        jnp.min(jnp.abs(diag_s), initial=jnp.inf)
-        < jnp.sqrt(jnp.finfo(K.dtype).eps) * scale_s * 1e-2
-    )
+    thresh = jnp.sqrt(jnp.finfo(K.dtype).eps) * scale_s * 1e-2
+    dcc = jnp.asarray(delta_cc, K.dtype)
+    thresh = jnp.where(dcc > 0, jnp.minimum(thresh, 0.5 * jnp.sqrt(dcc)), thresh)
+    tiny_pivot = jnp.min(jnp.abs(diag_s), initial=jnp.inf) < thresh
     ok_s = jnp.all(jnp.isfinite(Ls)) & ~tiny_pivot
     ok = ok_k & ok_s
     Ls_safe = jnp.where(ok, Ls, jnp.eye(mc + md, dtype=K.dtype))
@@ -138,10 +141,16 @@ def _lu_with_inertia(M, delta_cc):
     # nonsingular by construction, so cap the tolerance at delta_cc/2.
     w = jnp.linalg.eigvalsh(0.5 * (M + M.T))
     tol = 1e1 * jnp.finfo(M.dtype).eps * jnp.maximum(jnp.max(jnp.abs(w)), 1.0)
-    tol = jnp.where(delta_cc > 0.0, jnp.minimum(tol, 0.5 * delta_cc), tol)
+    # Once dual regularization is applied the system is nonsingular by
+    # construction; the -delta_cc eigenvalue cluster may sit below the
+    # eigensolver's resolution for badly scaled systems, so classify by
+    # sign with no zero bucket in that case (MA57 would report the same).
+    n_neg_reg = jnp.sum(w < 0.0)
     n_neg = jnp.sum(w < -tol)
     n_zero = jnp.sum(jnp.abs(w) <= tol)
-    n_neg_eig = jnp.where(n_zero > 0, -1, n_neg)
+    n_neg_eig = jnp.where(
+        delta_cc > 0.0, n_neg_reg, jnp.where(n_zero > 0, -1, n_neg)
+    )
     return lu, piv, n_neg_eig
 
 

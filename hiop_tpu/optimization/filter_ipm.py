@@ -236,7 +236,22 @@ class _NewtonDenseStrategy:
                 return False, True
             if self.inertia_free:
                 return True, False
-            return n_neg == f.mc + f.md, False
+            if n_neg != f.mc + f.md:
+                # highly degenerate systems can defeat the floating-point
+                # inertia count; after repeated mismatches fall back to the
+                # inertia-free curvature acceptor (the reference's
+                # recommended acceptor for such systems)
+                self._inertia_mismatches = getattr(self, "_inertia_mismatches", 0) + 1
+                if self._inertia_mismatches >= 3:
+                    self.log.printf(
+                        Verbosity.SCALARS,
+                        "inertia count unreliable (%d != %d); switching to the "
+                        "inertia-free curvature test", n_neg, f.mc + f.md,
+                    )
+                    self.inertia_free = True
+                    return True, False
+                return False, False
+            return True, False
         if self.kkt_kind in ("condensed", "normaleqn"):
             # single SPD factorization: failure means wrong curvature
             return bool(f.ok), False
@@ -748,6 +763,21 @@ class FilterIPMBase:
         self.solver_status = SolveStatus.NlpSolve_Pending
         self.iter_num = 0
 
+        # problem summary + options echo at start (reference cpp:981-989)
+        self.log.printf(
+            Verbosity.SUMMARY,
+            "Problem: %d variables, %d eq + %d ineq constraints "
+            "(%d/%d lower/upper var bounds, %d/%d ineq bounds); solver %s",
+            nlp.n, m_eq, m_ineq,
+            nlp.n_bnds_low, nlp.n_bnds_upp, nlp.m_ineq_low, nlp.m_ineq_upp,
+            type(self).__name__,
+        )
+        if o.str_("print_options") != "no":
+            self.log.printf(
+                Verbosity.SUMMARY, "%s",
+                o.pretty_print(only_user_defined=o.str_("print_options") == "user_options"),
+            )
+
         while True:
             err_nlp, err_log, cons_viol = self._errors(it_curr, norms)
             if self._err_nlp0 is None:
@@ -936,7 +966,8 @@ class FilterIPMBase:
 
                     fr = apply_feasibility_restoration(self, it_curr, mu, norms)
                 if fr is None:
-                    self.solver_status = SolveStatus.Steplength_Too_Small
+                    if self.solver_status != SolveStatus.Infeasible_Problem:
+                        self.solver_status = SolveStatus.Steplength_Too_Small
                     break
                 use_fr = 1
                 it_trial = it_curr._replace(

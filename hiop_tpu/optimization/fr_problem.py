@@ -238,4 +238,14 @@ def apply_feasibility_restoration(solver, it_curr, mu, norms):
         "FR phase did not restore feasibility (status %s)",
         result.status.name,
     )
+    if result.status.is_success:
+        # the FR NLP converged to a local minimizer of the infeasibility
+        # that is still infeasible -> the problem is (locally) infeasible
+        solver.solver_status = SolveStatus_Infeasible()
     return None
+
+
+def SolveStatus_Infeasible():
+    from hiop_tpu.status import SolveStatus
+
+    return SolveStatus.Infeasible_Problem

@@ -75,3 +75,25 @@ def test_force_resto_recovers():
 def test_outer_ir_can_be_disabled():
     r = sx1.solve(50, verbosity_level=0, ir_outer_maxit=0)
     assert r.status.is_success
+
+
+def test_sparse_ex3_degenerate_lp():
+    """49 identical constraint rows, zero Hessian: the dual-regularization
+    + inertia-fallback ladder must still reach the LP optimum 10 - 1e-6."""
+    import examples.sparse_ex3 as sx3
+
+    r = sx3.solve(50, verbosity_level=0)
+    assert r.status.is_success
+    assert abs(r.obj - (10.0 - 1e-6)) < 1e-4
+
+
+def test_sparse_ex3_infeasible_detected():
+    import examples.sparse_ex3 as sx3
+
+    r = sx3.solve(
+        20, ineq_feas=False, ineq_infeas=True, verbosity_level=0, max_iter=100
+    )
+    assert r.status in (
+        SolveStatus.Infeasible_Problem,
+        SolveStatus.Steplength_Too_Small,
+    )

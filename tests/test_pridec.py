@@ -29,3 +29,15 @@ def test_pridec_options():
     assert o.num("alpha_min") == 1e-5
     o.set("alpha_max", 1e4)
     assert o.num("alpha_max") == 1e4
+
+
+def test_pridec_ex2_nlp_recourse():
+    """Scenario evaluations that are themselves IPM solves (small size for
+    test speed; the full reference selfcheck nx=20 S=5 passes via
+    examples/pridec_ex2.py -selfcheck)."""
+    import examples.pridec_ex2 as px2
+
+    solver = px2.solve(8, 3, 2, verbosity_level=0, max_iter=15)
+    r = solver.run()
+    assert r.status.is_success
+    assert np.isfinite(r.obj)
