@@ -204,10 +204,10 @@ class AutoDiffNlpProblem(NlpProblem):
         import jax.numpy as jnp
 
         self.name = name
-        self._f = f
-        self._c = c if c is not None else (lambda x: jnp.zeros((0,), x.dtype))
-        self._grad_f = jax.grad(lambda x: jnp.asarray(f(x)).sum())
-        self._jac_c = jax.jacfwd(self._c)
+        self._f = jax.jit(f)
+        self._c = jax.jit(c if c is not None else (lambda x: jnp.zeros((0,), x.dtype)))
+        self._grad_f = jax.jit(jax.grad(lambda x: jnp.asarray(f(x)).sum()))
+        self._jac_c = jax.jit(jax.jacfwd(self._c))
         self._xl = np.asarray(xl, dtype=np.float64)
         self._xu = np.asarray(xu, dtype=np.float64)
         self._cl = np.atleast_1d(np.asarray(cl, dtype=np.float64))
@@ -219,7 +219,7 @@ class AutoDiffNlpProblem(NlpProblem):
                 lam, self._c(x)
             )
 
-        self._hess_lagr = jax.hessian(lagr, argnums=0)
+        self._hess_lagr = jax.jit(jax.hessian(lagr, argnums=0))
 
     def get_prob_sizes(self):
         return self._x0.shape[0], self._cl.shape[0]

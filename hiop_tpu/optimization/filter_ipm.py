@@ -155,7 +155,13 @@ class _NewtonDenseStrategy:
         self._Jc = self._Jd = None
         self._mu = 1.0
         self._factors = None
-        self._safe_mode = self.linsol_mode == "stable" and self.kkt_kind == "xdycyd"
+        # The quick Cholesky-Schur factorization with the regularization
+        # ladder + curvature safeguards is this framework's *stable* primary
+        # solver (it is an exact factorization; the reference's 'stable'
+        # means MA57-class). The LU+eigen safe path is the escalation
+        # target when quick fails — reached via switch_to_safer_KKT unless
+        # linsol_mode='forcequick'.
+        self._safe_mode = False
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
         with self.stats.kkt.tm_update_init:
@@ -786,6 +792,9 @@ class FilterIPMBase:
                 f, float(norms.nlp_feasib), float(norms.nlp_optim), mu,
                 alpha_dual, alpha_primal, ls_num, ls_status, use_soc,
             )
+            # make checkpointing callable from inside the user callback
+            # (the reference's Ex1 saves sidre state from iterate_callback)
+            self._ckpt_ref = (it_curr, mu, strategy)
             info = IterateCallbackInfo(
                 iter=self.iter_num, obj_value=nlp.unscaled_obj(f),
                 logbar_obj_value=self._logbar_f(it_curr, f, b, mu),
@@ -1124,6 +1133,14 @@ class FilterIPMBase:
         from hiop_tpu.utils import checkpoint as ckpt
 
         ckpt.save_state(path, self._collect_checkpoint(it_curr, mu, strategy))
+
+    def save_checkpoint(self, path: str) -> None:
+        """Checkpoint the in-flight state; callable from an iterate callback
+        (the reference's save_state_to_sidre_group usage in DenseConsEx1)."""
+        ref = getattr(self, "_ckpt_ref", None)
+        if ref is None:
+            raise RuntimeError("no in-flight state; solver is not running")
+        self.save_state_to_file(path, *ref)
 
     def _try_restore_checkpoint(self, path: str, strategy):
         """Returns (it_curr, mu) or None."""

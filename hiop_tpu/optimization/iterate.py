@@ -58,6 +58,7 @@ class Iterate(NamedTuple):
         return jax.tree.map(jnp.zeros_like, other)
 
 
+@jax.jit
 def determine_slacks(it: Iterate, b: Bounds) -> Iterate:
     """Recompute slacks from x and d (hiopIterate::determineSlacks);
     off-pattern slack entries are held at 1.0."""
@@ -69,6 +70,7 @@ def determine_slacks(it: Iterate, b: Bounds) -> Iterate:
     )
 
 
+@jax.jit
 def compute_safe_slacks(it: Iterate, it_curr: Iterate, b: Bounds, mu):
     """determineSlacks + adjust_small_slacks (hiopIterate.cpp:293).
     Returns (iterate, num_adjusted)."""
@@ -80,6 +82,7 @@ def compute_safe_slacks(it: Iterate, it_curr: Iterate, b: Bounds, mu):
     return it._replace(sxl=sxl, sxu=sxu, sdl=sdl, sdu=sdu), n1 + n2 + n3 + n4
 
 
+@jax.jit
 def eval_logbar(it: Iterate, b: Bounds):
     """sum of log(slack) over all four slack blocks (evalLogBarrier)."""
     return (
@@ -90,6 +93,7 @@ def eval_logbar(it: Iterate, b: Bounds):
     )
 
 
+@jax.jit
 def linear_damping_term(it: Iterate, b: Bounds, mu, kappa_d):
     """kappa_d*mu*(sum one-side-bounded slacks) (linearDampingTerm)."""
     return (
@@ -100,6 +104,7 @@ def linear_damping_term(it: Iterate, b: Bounds, mu, kappa_d):
     )
 
 
+@jax.jit
 def add_logbar_grad_x(grad_x, it: Iterate, b: Bounds, mu):
     """grad_x += -mu/sxl + mu/sxu on patterns (addLogBarGrad_x)."""
     grad_x = vo.add_logbar_grad(grad_x, -mu, it.sxl, b.ixl)
@@ -107,6 +112,7 @@ def add_logbar_grad_x(grad_x, it: Iterate, b: Bounds, mu):
     return grad_x
 
 
+@jax.jit
 def add_logbar_grad_d(grad_d, it: Iterate, b: Bounds, mu):
     grad_d = vo.add_logbar_grad(grad_d, -mu, it.sdl, b.idl)
     grad_d = vo.add_logbar_grad(grad_d, mu, it.sdu, b.idu)
@@ -121,6 +127,7 @@ def add_damping_grad_d(grad_d, b: Bounds, mu, kappa_d, beta=1.0):
     return vo.add_linear_damping_grad(grad_d, b.idl, b.idu, beta * kappa_d * mu)
 
 
+@jax.jit
 def fraction_to_the_boundary(it: Iterate, d: Iterate, tau, b: Bounds):
     """Returns (alpha_primal, alpha_dual) (hiopIterate::fractionToTheBdry)."""
     ap = jnp.minimum(
@@ -146,12 +153,14 @@ def fraction_to_the_boundary(it: Iterate, d: Iterate, tau, b: Bounds):
     return ap, ad
 
 
+@jax.jit
 def take_step_primals(it: Iterate, d: Iterate, alpha) -> Iterate:
     """x,d <- x,d + alpha*dir; slacks are recomputed by the caller via
     compute_safe_slacks (takeStep_primals)."""
     return it._replace(x=it.x + alpha * d.x, d=it.d + alpha * d.d)
 
 
+@jax.jit
 def take_step_duals(it: Iterate, d: Iterate, alpha_primal, alpha_dual) -> Iterate:
     """Eq-duals step with alpha_primal, bound-duals with alpha_dual
     (takeStep_duals + hiopDualsNewtonLinearUpdate semantics)."""
@@ -165,6 +174,7 @@ def take_step_duals(it: Iterate, d: Iterate, alpha_primal, alpha_dual) -> Iterat
     )
 
 
+@jax.jit
 def adjust_duals(it: Iterate, b: Bounds, mu, kappa_sigma) -> Iterate:
     """Primal-log-Hessian dual safeguard (adjustDuals_primalLogHessian)."""
     return it._replace(
@@ -175,6 +185,7 @@ def adjust_duals(it: Iterate, b: Bounds, mu, kappa_sigma) -> Iterate:
     )
 
 
+@jax.jit
 def norm_one_of_duals(it: Iterate):
     """Returns (||yc,yd||_1, ||zl,zu,vl,vu||_1) (normOneOfDuals)."""
     eq = vo.onenorm(it.yc) + vo.onenorm(it.yd)
@@ -182,6 +193,7 @@ def norm_one_of_duals(it: Iterate):
     return eq, bnd
 
 
+@jax.jit
 def starting_point_primal(x_user, d_of_x, b: Bounds, kappa1, kappa2):
     """Project user's x0 and d(x0) strictly inside bounds (startingProcedure,
     hiopAlgFilterIPM.cpp:290). Returns (x0, d0)."""

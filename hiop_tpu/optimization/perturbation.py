@@ -135,6 +135,22 @@ class PDPerturbationDualFirstScalar(PDPerturbationPrimalFirstScalar):
         return super().compute_perturb_wrong_inertia()
 
 
+class PDPerturbationPrimalFirstRand(PDPerturbationPrimalFirstScalar):
+    """Randomized-diagonal variant (hiopPDPerturbationPrimalFirstRand,
+    hpp:296): the scalar delta scales a fixed uniform random vector in
+    [0.5, 1.5), decorrelating the regularization from problem structure.
+    The KKT classes consume the scalar `delta_wx` as the mean; callers that
+    want the vector use `delta_wx_vec(n)`."""
+
+    _SEED = 12345
+
+    def delta_wx_vec(self, n: int):
+        import numpy as np
+
+        rng = np.random.default_rng(self._SEED)
+        return self.delta_wx * (0.5 + rng.random(n))
+
+
 def make_perturbation(options: NlpOptions, for_newton: bool):
     """decideAndCreate (hiopAlgFilterIPM.cpp:2164-2176): Null for QN, else
     primal/dual-first by the normaleqn_regularization_priority option."""
@@ -147,6 +163,8 @@ def make_perturbation(options: NlpOptions, for_newton: bool):
         and options.str_("normaleqn_regularization_priority") == "dual_first"
     ):
         p: PDPerturbationNull = PDPerturbationDualFirstScalar()
+    elif options.str_("regularization_method") == "randomized":
+        p = PDPerturbationPrimalFirstRand()
     else:
         p = PDPerturbationPrimalFirstScalar()
     p.initialize(options)

@@ -52,6 +52,7 @@ class ResidualNorms(NamedTuple):
     cons_violation: jax.Array       # true bound/equality violation of c(x), d(x)
 
 
+@jax.jit
 def update_residual(
     it: Iterate,
     c: jax.Array,
@@ -140,6 +141,7 @@ def update_residual(
     return res, norms
 
 
+@jax.jit
 def compress_rhs_xdycyd(res: Residual, it: Iterate, b: Bounds):
     """Fold bound/complementarity rows into the 4-block XDYcYd RHS
     (doc: hiopKKTLinSys.hpp:334-345). Returns (rx_t, rd_t, ryc, ryd)::
@@ -164,6 +166,7 @@ def compress_rhs_xdycyd(res: Residual, it: Iterate, b: Bounds):
     return rx_t, rd_t, res.ryc, res.ryd
 
 
+@jax.jit
 def recover_direction(
     res: Residual, it: Iterate, b: Bounds, dx, dd, dyc, dyd
 ) -> Iterate:
@@ -189,6 +192,7 @@ def recover_direction(
     return Iterate(dx, dd, dsxl, dsxu, dsdl, dsdu, dyc, dyd, dzl, dzu, dvl, dvu)
 
 
+@jax.jit
 def barrier_diagonals(it: Iterate, b: Bounds):
     """Dx = Sxl^{-1}Zl + Sxu^{-1}Zu and Dd = Sdl^{-1}Vl + Sdu^{-1}Vu."""
     sxl = jnp.where(b.ixl == 1.0, it.sxl, 1.0)
