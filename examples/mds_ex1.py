@@ -35,11 +35,15 @@ SELFCHECK_OBJ = -4.9994906229741609e01  # ns=400, nd=100
 class MdsEx1(MdsProblem):
     jittable = True
 
-    def __init__(self, ns: int = 400, nd: int = 100):
+    def __init__(self, ns: int = 400, nd: int = 100, empty_sp_row: bool = False):
+        """empty_sp_row=True drops x_2 from the second inequality, leaving a
+        constraint row with no sparse-block entries (the reference's
+        -empty_sp_row corner case; row 2 body becomes e'y only)."""
         if ns % 4 != 0:
             ns = 4 * ((4 + ns) // 4)
         self.ns = ns
         self.nd = nd
+        self.empty_sp_row = empty_sp_row
         self.n_sp = 2 * ns   # [x, s]
         self.m = ns + 3
         Q = np.full((nd, nd), 1e-8)
@@ -52,9 +56,15 @@ class MdsEx1(MdsProblem):
         # sparse-block Jacobian structure over [x, s]
         rows = list(range(ns)) + list(range(ns))          # eq: x_i, s_i
         cols = list(range(ns)) + list(range(ns, 2 * ns))
-        # ineq row ns: x_1 + e's ; row ns+1: x_2 ; row ns+2: x_3
-        rows += [ns] + [ns] * ns + [ns + 1] + [ns + 2]
-        cols += [0] + list(range(ns, 2 * ns)) + [1] + [2]
+        # ineq row ns: x_1 + e's ; row ns+1: x_2 (absent when empty_sp_row);
+        # row ns+2: x_3
+        rows += [ns] + [ns] * ns
+        cols += [0] + list(range(ns, 2 * ns))
+        if not empty_sp_row:
+            rows += [ns + 1]
+            cols += [1]
+        rows += [ns + 2]
+        cols += [2]
         self._jr = np.asarray(rows)
         self._jc = np.asarray(cols)
         nnz = self._jr.size
@@ -105,7 +115,8 @@ class MdsEx1(MdsProblem):
         x, s, y = self._split(z)
         eq = x + s + self.Md @ y
         ey = jnp.sum(y)
-        ineq = jnp.array([x[0] + jnp.sum(s) + ey, x[1] + ey, x[2] + ey])
+        row1 = (0.0 if self.empty_sp_row else x[1]) + ey
+        ineq = jnp.array([x[0] + jnp.sum(s) + ey, row1, x[2] + ey])
         return jnp.concatenate([eq, ineq])
 
     def jac_sparse_structure(self):
@@ -124,7 +135,7 @@ class MdsEx1(MdsProblem):
         return hss, hdd
 
 
-def solve(ns: int = 400, nd: int = 100, driver_options: bool = True, **opts):
+def solve(ns: int = 400, nd: int = 100, driver_options: bool = True, empty_sp_row: bool = False, **opts):
     """driver_options=True replicates the reference driver's settings
     (NlpMdsEx1Driver.cpp:129-140: tol 1e-5, mu0 0.1, duals_init zero) under
     which this solver reproduces HiOp's saved objective to ~6e-9; pass
@@ -135,7 +146,7 @@ def solve(ns: int = 400, nd: int = 100, driver_options: bool = True, **opts):
     if driver_options:
         o.update(tolerance=1e-5, mu0=0.1, duals_init="zero", duals_update_type="linear")
     o.update(**opts)
-    nlp = NlpMDS(MdsEx1(ns, nd), o)
+    nlp = NlpMDS(MdsEx1(ns, nd, empty_sp_row), o)
     return FilterIPMNewton(nlp).run()
 
 

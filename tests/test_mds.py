@@ -41,3 +41,8 @@ def test_mds_ex2_rank_deficient():
         48, 12, rankdefic_eq=True, rankdefic_ineq=True, verbosity_level=0
     )
     assert r.status.is_success
+
+
+def test_mds_ex1_empty_sp_row():
+    r = mx1.solve(16, 8, empty_sp_row=True, verbosity_level=0)
+    assert r.status.is_success
