@@ -71,3 +71,15 @@ def direction_residual(H, Jc, Jd, it, b, deltas, res: Residual, d: Iterate) -> R
     Ad = full_kkt_matvec(H, Jc, Jd, it, b, delta_wx, delta_wd, delta_cc, delta_cd, d)
     rhs = residual_to_rhs(res)
     return jax.tree.map(lambda r, a: r - a, rhs, Ad)
+
+
+@jax.jit
+def direction_residual_norms(H, Jc, Jd, it, b, delta_wx, delta_wd, delta_cc, delta_cd, res, d):
+    """(||rhs - A d||, ||rhs||) in one fused dispatch — the IR gate check."""
+    Ad = full_kkt_matvec(H, Jc, Jd, it, b, delta_wx, delta_wd, delta_cc, delta_cd, d)
+    rhs = residual_to_rhs(res)
+    diff2 = sum(
+        jax.tree.leaves(jax.tree.map(lambda r, a: jnp.vdot(r - a, r - a), rhs, Ad))
+    )
+    rhs2 = sum(jax.tree.leaves(jax.tree.map(lambda r: jnp.vdot(r, r), rhs)))
+    return jnp.sqrt(diff2), jnp.sqrt(rhs2)

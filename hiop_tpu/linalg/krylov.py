@@ -20,9 +20,14 @@ import jax
 import jax.numpy as jnp
 
 
-def tree_dot(a, b):
+@jax.jit
+def _tree_dot_device(a, b):
     leaves = jax.tree.leaves(jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b))
-    return float(sum(leaves))
+    return sum(leaves)
+
+
+def tree_dot(a, b):
+    return float(_tree_dot_device(a, b))
 
 
 def tree_norm(a):

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hiop_tpu.interface.base import IterateCallbackInfo
@@ -72,6 +73,11 @@ class _UserEvalError(Exception):
 
 class _StepComputationError(Exception):
     pass
+
+
+class _FusedFallback(Exception):
+    """Raised by the fused fast path when an iteration needs machinery that
+    lives only in the general loop (regularization, SOC, FR)."""
 
 
 # =====================================================================
@@ -329,15 +335,15 @@ class _NewtonDenseStrategy:
         p = self.perturb
         deltas = (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd)
         with self.stats.kkt.tm_resid:
-            res_dir = kkt_full.direction_residual(
-                self._H, self._Jc, self._Jd, it, b, deltas, resid, dir_
+            rn, bn = kkt_full.direction_residual_norms(
+                self._H, self._Jc, self._Jd, it, b, *deltas, resid, dir_
             )
-            rhs = kkt_full.residual_to_rhs(resid)
-            res_norm = krylov.tree_norm(res_dir)
-            rhs_norm = max(krylov.tree_norm(rhs), 1e-300)
+            res_norm = float(rn)
+            rhs_norm = max(float(bn), 1e-300)
         tol = max(self.ir_tol_min, self.ir_tol_factor * self._mu)
         if res_norm <= tol * rhs_norm:
             return dir_
+        rhs = kkt_full.residual_to_rhs(resid)
 
         def matvec(d):
             return kkt_full.full_kkt_matvec(
@@ -1239,3 +1245,157 @@ class FilterIPMNewton(FilterIPMBase):
         if isinstance(self.nlp, NlpMDS):
             return _MdsStrategy(self.nlp, self.log, self.nlp.runstats)
         return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
+
+    # ------------------------------------------------------ fused fast path
+    def run(self) -> SolverResult:
+        o = self.opts
+        from hiop_tpu.formulation.mds import NlpMDS
+
+        if (
+            o.str_("jit_mode") == "iteration"
+            and getattr(self.nlp.problem, "jittable", False)
+            and not isinstance(self.nlp, NlpMDS)
+            and o.str_("warm_start") == "no"
+            and o.str_("KKTLinsys") in ("auto", "xdycyd")
+        ):
+            try:
+                return self._run_fused()
+            except _FusedFallback as e:
+                self.log.printf(
+                    Verbosity.SUMMARY,
+                    "fused iteration bailed out (%s); re-running the general path",
+                    str(e),
+                )
+                # reset algorithm state and run the general loop
+                self.filter = Filter()
+                self._n_accep = 0
+                self._err_nlp0 = None
+                self.iter_num = 0
+        return super().run()
+
+    def _run_fused(self) -> SolverResult:
+        """One jitted XLA computation per IPM iteration (fused_newton.py);
+        O(1) host decisions between steps with a single scalar sync."""
+        from hiop_tpu.optimization import fused_newton as fn
+
+        nlp = self.nlp
+        b: Bounds = nlp.bounds
+        o = self.opts
+        stats = nlp.runstats
+        stats.tm_optimize_total.restart()
+        mu = self.mu0
+        tau = max(self.tau_min, 1.0 - mu)
+
+        # minimal starting procedure (no warm start in fused mode)
+        x_user = nlp.get_starting_point()
+        nlp.maybe_setup_scaling(x_user)
+        f0, c0, d0_eval = self._eval_f_cons(x_user)
+        x0, d0 = it_mod.starting_point_primal(x_user, d0_eval, b, self.kappa1, self.kappa2)
+        f, c, d_eval = self._eval_f_cons(x0)
+        n, m_eq, m_ineq = nlp.n, nlp.m_eq, nlp.m_ineq
+        it_curr = Iterate(
+            x=x0, d=d0,
+            sxl=jnp.ones((n,), x0.dtype), sxu=jnp.ones((n,), x0.dtype),
+            sdl=jnp.ones((m_ineq,), x0.dtype), sdu=jnp.ones((m_ineq,), x0.dtype),
+            yc=jnp.zeros((m_eq,), x0.dtype), yd=jnp.zeros((m_ineq,), x0.dtype),
+            zl=b.ixl * 1.0, zu=b.ixu * 1.0, vl=b.idl * 1.0, vu=b.idu * 1.0,
+        )
+        it_curr = it_mod.determine_slacks(it_curr, b)
+        grad_f = nlp.eval_grad_f(x0)
+        Jc, Jd = nlp.eval_jac(x0)
+        if o.str_("duals_init") == "lsq":
+            yc, yd = du.initial_duals_lsq(
+                Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
+                o.num("duals_lsq_ini_max"),
+            )
+            it_curr = it_curr._replace(yc=yc, yd=yd)
+
+        theta0 = self._theta_onenorm(it_curr, c, d_eval)
+        self.theta_max = self.theta_max_fact * max(1.0, theta0)
+        self.theta_min = self.theta_min_fact * max(1.0, theta0)
+        consts = dict(
+            kappa_d=self.kappa_d, kappa_Sigma=self.kappa_Sigma,
+            theta_min=self.theta_min, gamma_theta=self.gamma_theta,
+            gamma_phi=self.gamma_phi, s_theta=self.s_theta, s_phi=self.s_phi,
+            delta=self.delta, eta_phi=self.eta_phi,
+            min_step_size=self.min_step_size, smax=self.smax,
+        )
+        step = fn.build_fused_step(nlp, consts)
+        state = fn.FusedState(it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
+                              grad=grad_f, Jc=Jc, Jd=Jd)
+
+        filt = np.full((fn.FILTER_CAP, 2), np.inf)
+        filt[0] = (self.theta_max, -np.inf)
+        filt_len = 1
+        self.solver_status = SolveStatus.NlpSolve_Pending
+        self.iter_num = 0
+        printed_header = False
+
+        while True:
+            new_state, s = step(state, mu, tau, jnp.asarray(filt), filt_len)
+            sh = jax.device_get(s)
+            err_nlp = float(sh.err_nlp)
+            err_log = float(sh.err_log)
+            if self._err_nlp0 is None:
+                self._err_nlp0 = err_nlp
+            self._output_iteration(
+                float(sh.f), float(sh.nlp_feasib), float(sh.nlp_optim), mu,
+                float(sh.alpha_dual), float(sh.alpha_primal),
+                int(sh.ls_count), int(sh.ls_status) if self.iter_num else -1,
+            )
+            # user callback (coarse: scalars only; arrays on request)
+            info = IterateCallbackInfo(
+                iter=self.iter_num, obj_value=nlp.unscaled_obj(float(sh.f)),
+                logbar_obj_value=float(sh.phi), x=state.it.x,
+                z_L=state.it.zl, z_U=state.it.zu, s=state.it.d, g=state.c,
+                yc=state.it.yc, yd=state.it.yd,
+                inf_pr=float(sh.nlp_feasib), inf_du=float(sh.nlp_optim),
+                onenorm_pr=float(sh.theta), mu=mu,
+                alpha_du=float(sh.alpha_dual), alpha_pr=float(sh.alpha_primal),
+                ls_trials=int(sh.ls_count),
+            )
+            if not nlp.user_callback_iterate(info):
+                self.solver_status = SolveStatus.User_Stopped
+                break
+
+            term = self._check_termination(err_nlp, s)
+            if term is not None:
+                self.solver_status = term
+                break
+
+            if not bool(sh.fact_ok):
+                raise _FusedFallback("factorization needs regularization")
+            if int(sh.ls_status) == 0:
+                raise _FusedFallback("line search rejected (SOC/FR needed)")
+
+            # mu schedule (single reduction per iteration; catch-up happens
+            # across consecutive iterations)
+            if err_log <= self.kappa_eps * mu:
+                changed, mu, tau = self._update_mu(mu)
+                if changed:
+                    filt[0] = (self.theta_max, -np.inf)
+                    filt_len = 1
+            if bool(sh.filter_add) and filt_len < fn.FILTER_CAP:
+                filt[filt_len] = (float(sh.theta_add), float(sh.phi_add))
+                filt_len += 1
+
+            state = new_state
+            self.iter_num += 1
+            stats.n_iters = self.iter_num
+
+        obj = nlp.unscaled_obj(float(state.f))
+        stats.tm_optimize_total.stop()
+        nlp.user_callback_solution(
+            self.solver_status, state.it.x, state.it.zl, state.it.zu,
+            jnp.concatenate([state.c, state.d]) if nlp.m else state.c,
+            (state.it.yc, state.it.yd), obj,
+        )
+        self.log.printf(
+            Verbosity.SUMMARY,
+            "Solver status: %s, objective %.12e, iterations %d (fused)",
+            self.solver_status.name, obj, self.iter_num,
+        )
+        return SolverResult(
+            status=self.solver_status, x=np.asarray(state.it.x), obj=obj,
+            iterations=self.iter_num, err_nlp=float(err_nlp), mu=mu,
+        )

@@ -1,0 +1,243 @@
+"""Fully-jitted IPM iteration (the ``jit_mode=iteration`` fast path).
+
+The host-orchestrated loop in filter_ipm.py dispatches ~30 device kernels
+and synchronizes several scalars per iteration — right for callback-style
+problems, but dispatch-bound for jittable ones. This module compiles ONE
+XLA computation per IPM iteration for the Newton quick path:
+
+  evals -> Hessian -> factorize (Cholesky-Schur) -> direction -> recovery
+  -> fraction-to-the-boundary -> backtracking filter line search
+  (lax.while_loop, filter as a fixed-size on-device buffer) -> linear dual
+  update -> safeguards -> next residual/errors
+
+Everything data-dependent that the reference keeps in C++ control flow
+(line-search trials, acceptance tests) becomes lax control flow; only the
+O(1) per-iteration decisions (mu schedule, filter augmentation, termination,
+fallbacks) stay host-side, reading a single small scalar bundle per
+iteration.
+
+Scope: jittable problems (AutoDiff / jittable sparse-dense) on the dense
+Newton quick path with the linear dual update and no SOC inside the fused
+step. Any iteration the fused step cannot certify (failed factorization,
+rejected line search) aborts fused mode and the solve falls back to the
+general loop — correctness never depends on the fast path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hiop_tpu.optimization import iterate as it_mod
+from hiop_tpu.optimization import residual as res_mod
+from hiop_tpu.optimization.iterate import Bounds, Iterate
+
+FILTER_CAP = 128
+MAX_LS = 30
+
+
+class FusedScalars(NamedTuple):
+    """Per-iteration scalar bundle returned to the host (one sync)."""
+
+    f: jax.Array
+    err_nlp: jax.Array
+    err_log: jax.Array
+    nlp_optim: jax.Array
+    nlp_feasib: jax.Array
+    theta: jax.Array
+    phi: jax.Array
+    alpha_primal: jax.Array
+    alpha_dual: jax.Array
+    ls_count: jax.Array
+    ls_status: jax.Array     # 0 rejected (fallback), 1/2/3 accepted kinds
+    fact_ok: jax.Array
+    filter_add: jax.Array    # bool: host should append (theta, phi) trial
+    theta_add: jax.Array
+    phi_add: jax.Array
+
+
+class FusedState(NamedTuple):
+    it: Iterate
+    f: jax.Array
+    c: jax.Array
+    d: jax.Array
+    grad: jax.Array
+    Jc: jax.Array
+    Jd: jax.Array
+
+
+def build_fused_step(nlp, consts):
+    """Returns a jitted step(state, mu, tau, filt, filt_len) ->
+    (new_state, FusedScalars). `nlp` must have jittable evaluations."""
+    b: Bounds = nlp.bounds
+    crhs = nlp.crhs
+    kappa_d = consts["kappa_d"]
+    kappa_sigma = consts["kappa_Sigma"]
+    theta_min = consts["theta_min"]
+    gamma_theta = consts["gamma_theta"]
+    gamma_phi = consts["gamma_phi"]
+    s_theta = consts["s_theta"]
+    s_phi = consts["s_phi"]
+    delta = consts["delta"]
+    eta_phi = consts["eta_phi"]
+    min_step = consts["min_step_size"]
+    smax = consts["smax"]
+    n, m = nlp.n, nlp.m
+
+    def evals(x):
+        f = nlp.eval_f(x)
+        c, d = nlp.eval_cons(x)
+        return f, c, d
+
+    def derivs(x):
+        return nlp.eval_grad_f(x), *nlp.eval_jac(x)
+
+    def hess(x, yc, yd):
+        return nlp.eval_hess(x, 1.0, yc, yd)
+
+    def logbar_phi(it, f, mu):
+        val = f - mu * it_mod.eval_logbar(it, b)
+        return val + it_mod.linear_damping_term(it, b, mu, kappa_d)
+
+    def theta_of(it, c, d):
+        return jnp.sum(jnp.abs(crhs - c)) + jnp.sum(jnp.abs(it.d - d))
+
+    def filter_contains(filt, filt_len, theta, phi):
+        idx = jnp.arange(FILTER_CAP)
+        valid = idx < filt_len
+        dom = (theta >= filt[:, 0]) & (phi >= filt[:, 1]) & valid
+        return jnp.any(dom)
+
+    def step(state: FusedState, mu, tau, filt, filt_len):
+        it, f, c, d_eval, grad, Jc, Jd = state
+
+        # residual + errors at the current point
+        jacT_yc = Jc.T @ it.yc if m else jnp.zeros_like(it.x)
+        jacT_yd = Jd.T @ it.yd if m else jnp.zeros_like(it.x)
+        resid, norms = res_mod.update_residual(
+            it, c, d_eval, grad, jacT_yc, jacT_yd, crhs, b, mu, kappa_d
+        )
+        eq1, bnd1 = it_mod.norm_one_of_duals(it)
+        sd = jnp.minimum(jnp.maximum(smax, (bnd1 + eq1) / max(n + m, 1)) / smax, 1e8)
+        sc = jnp.minimum(jnp.maximum(smax, bnd1 / n) / smax, 1e8)
+        err_nlp = jnp.maximum(
+            norms.nlp_optim / sd,
+            jnp.maximum(norms.cons_violation, norms.nlp_complem / sc),
+        )
+        err_log = jnp.maximum(
+            norms.bar_optim / sd,
+            jnp.maximum(norms.cons_violation, norms.bar_complem / sc),
+        )
+
+        # direction: quick Cholesky-Schur (no regularization in-fused; a
+        # failed factorization returns fact_ok=False and the host falls back)
+        from hiop_tpu.kkt import newton_dense as kkt_nd
+
+        H = hess(it.x, it.yc, it.yd)
+        Dx, Dd = res_mod.barrier_diagonals(it, b)
+        fct = kkt_nd.factorize_quick(H, Dx, Dd, Jc, Jd, 0.0, 0.0, 0.0, 0.0)
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
+        dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+
+        ap_max, ad = it_mod.fraction_to_the_boundary(it, dir_, tau, b)
+        theta_curr = theta_of(it, c, d_eval)
+        phi_curr = logbar_phi(it, f, mu)
+        gx = it_mod.add_logbar_grad_x(grad, it, b, mu)
+        gx = it_mod.add_damping_grad_x(gx, b, mu, kappa_d)
+        gd = it_mod.add_logbar_grad_d(jnp.zeros_like(it.d), it, b, mu)
+        gd = it_mod.add_damping_grad_d(gd, b, mu, kappa_d)
+        grad_phi_dx = gx @ dir_.x + gd @ dir_.d
+
+        # ---------------- backtracking filter line search ------------------
+        def ls_accept(theta_t, phi_t, alpha):
+            far = theta_curr >= theta_min
+            suff = (theta_t <= (1 - gamma_theta) * theta_curr) | (
+                phi_t <= phi_curr - gamma_phi * theta_curr
+            )
+            in_filter = filter_contains(filt, filt_len, theta_t, phi_t)
+            sw = (grad_phi_dx < 0) & (
+                alpha * (-grad_phi_dx) ** s_phi > delta * theta_curr**s_theta
+            )
+            armijo = phi_t <= phi_curr + eta_phi * alpha * grad_phi_dx
+            code_far = jnp.where(suff & ~in_filter, 1, 0)
+            code_near = jnp.where(
+                sw,
+                jnp.where(armijo & ~in_filter, 3, 0),
+                jnp.where(suff & ~in_filter, 2, 0),
+            )
+            return jnp.where(far, code_far, code_near)
+
+        def trial_at(alpha):
+            it_t = it_mod.take_step_primals(it, dir_, alpha)
+            it_t, _ = it_mod.compute_safe_slacks(it_t, it, b, mu)
+            f_t, c_t, d_t = evals(it_t.x)
+            return it_t, f_t, c_t, d_t
+
+        def ls_cond(carry):
+            alpha, count, code, *_ = carry
+            return (code == 0) & (alpha >= min_step) & (count < MAX_LS)
+
+        def ls_body(carry):
+            alpha, count, _code, it_t0, f_t0, c_t0, d_t0, th0, ph0 = carry
+            it_t, f_t, c_t, d_t = trial_at(alpha)
+            th = theta_of(it_t, c_t, d_t)
+            ph = logbar_phi(it_t, f_t, mu)
+            code = ls_accept(th, ph, alpha)
+            bad = ~jnp.isfinite(f_t)
+            code = jnp.where(bad, 0, code)
+            next_alpha = jnp.where(code == 0, alpha * 0.5, alpha)
+            return (next_alpha, count + 1, code, it_t, f_t, c_t, d_t, th, ph)
+
+        init = (
+            ap_max, jnp.asarray(0), jnp.asarray(0),
+            it, f, c, d_eval, theta_curr, phi_curr,
+        )
+        alpha_p, ls_count, ls_code, it_t, f_t, c_t, d_t, theta_t, phi_t = (
+            jax.lax.while_loop(ls_cond, ls_body, init)
+        )
+        accepted = ls_code > 0
+
+        # filter augmentation decision (host applies it)
+        sw_acc = (grad_phi_dx < 0) & (
+            alpha_p * (-grad_phi_dx) ** s_phi > delta * theta_curr**s_theta
+        )
+        armijo_acc = phi_t <= phi_curr + eta_phi * alpha_p * grad_phi_dx
+        add1 = (ls_code == 1) & ~(sw_acc & armijo_acc)
+        filter_add = accepted & (add1 | (ls_code == 2))
+
+        # ---------------- dual update (linear) + safeguards ----------------
+        it_new = it_mod.take_step_duals(it_t, dir_, alpha_p, ad)
+        it_new = it_mod.adjust_duals(it_new, b, mu, kappa_sigma)
+        grad_n, Jc_n, Jd_n = derivs(it_new.x)
+
+        # keep the old state when the step was not accepted (host falls back)
+        def pick(new, old):
+            return jax.tree.map(
+                lambda a, o: jnp.where(accepted, a, o), new, old
+            )
+
+        state_new = FusedState(
+            it=pick(it_new, it),
+            f=jnp.where(accepted, f_t, f),
+            c=pick(c_t, c),
+            d=pick(d_t, d_eval),
+            grad=pick(grad_n, grad),
+            Jc=pick(Jc_n, Jc),
+            Jd=pick(Jd_n, Jd),
+        )
+        scal = FusedScalars(
+            f=f, err_nlp=err_nlp, err_log=err_log,
+            nlp_optim=norms.nlp_optim, nlp_feasib=norms.nlp_feasib,
+            theta=theta_curr, phi=phi_curr,
+            alpha_primal=alpha_p, alpha_dual=ad,
+            ls_count=ls_count, ls_status=jnp.where(accepted, ls_code, 0),
+            fact_ok=fct.ok, filter_add=filter_add,
+            theta_add=theta_t, phi_add=phi_t,
+        )
+        return state_new, scal
+
+    return jax.jit(step)

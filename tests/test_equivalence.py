@@ -83,3 +83,23 @@ def test_repeated_solves_reuse_compilation():
     assert r3.status.is_success
     assert r2.obj == r3.obj
     assert dt3 < 30.0  # warm solves are fast (cold compile is minutes-scale)
+
+
+def test_fused_iteration_matches_general_path():
+    """jit_mode=iteration (one XLA computation per IPM iteration) must reach
+    the same optimum as the general loop."""
+    r_fused = sx1.solve(50, verbosity_level=0, jit_mode="iteration")
+    r_std = sx1.solve(50, verbosity_level=0)
+    assert r_fused.status.is_success
+    assert _rel(r_fused.obj, r_std.obj) < 1e-8
+
+
+def test_fused_iteration_fallback_on_hard_problem():
+    """A problem needing regularization mid-solve must transparently fall
+    back to the general loop and still succeed."""
+    import examples.sparse_ex2 as sx2
+
+    r = sx2.solve(50, verbosity_level=0, jit_mode="iteration")
+    assert r.status.is_success
+    ref, tol = sx2.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
