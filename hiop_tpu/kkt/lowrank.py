@@ -88,9 +88,14 @@ def _sym_solve_with_refin(N: jax.Array, b: jax.Array) -> jax.Array:
         return x0 + jax.scipy.linalg.cho_solve((L, True), r)
 
     def lu_solve(_):
-        # bump the diagonal slightly for rank-deficient Jacobians
+        # bump the diagonal for rank-deficient Jacobians and retry Cholesky
+        # (no f64 LU on this TPU backend; see linalg/small_solve.py)
         eps = jnp.finfo(N.dtype).eps
         scale = jnp.maximum(jnp.max(jnp.abs(N)), 1.0)
-        return jnp.linalg.solve(N + jnp.sqrt(eps) * scale * jnp.eye(m, dtype=N.dtype), b)
+        Nb = N + jnp.sqrt(eps) * scale * jnp.eye(m, dtype=N.dtype)
+        Lb = jnp.linalg.cholesky(Nb)
+        ok_b = jnp.all(jnp.isfinite(Lb))
+        Lb = jnp.where(ok_b, Lb, jnp.eye(m, dtype=N.dtype))
+        return jax.scipy.linalg.cho_solve((Lb, True), b)
 
     return jax.lax.cond(ok, chol_solve, lu_solve, None)

@@ -131,43 +131,48 @@ def assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     return jnp.concatenate([row_x, row_d, row_yc, row_yd], axis=0)
 
 
-@jax.jit
 def _lu_with_inertia(M, delta_cc):
-    lu, piv = jax.scipy.linalg.lu_factor(M)
-    # inertia from the symmetric eigenvalues (the safe path is only used for
-    # moderate dense KKTs where an O(N^3) eigendecomposition costs the same
-    # as the factorization it guards). The zero-eigenvalue tolerance must not
-    # swallow an applied dual regularization: once delta_cc > 0 the system is
-    # nonsingular by construction, so cap the tolerance at delta_cc/2.
-    w = jnp.linalg.eigvalsh(0.5 * (M + M.T))
-    tol = 1e1 * jnp.finfo(M.dtype).eps * jnp.maximum(jnp.max(jnp.abs(w)), 1.0)
-    # Once dual regularization is applied the system is nonsingular by
-    # construction; the -delta_cc eigenvalue cluster may sit below the
-    # eigensolver's resolution for badly scaled systems, so classify by
-    # sign with no zero bucket in that case (MA57 would report the same).
-    n_neg_reg = jnp.sum(w < 0.0)
-    n_neg = jnp.sum(w < -tol)
-    n_zero = jnp.sum(jnp.abs(w) <= tol)
-    n_neg_eig = jnp.where(
-        delta_cc > 0.0, n_neg_reg, jnp.where(n_zero > 0, -1, n_neg)
-    )
-    return lu, piv, n_neg_eig
+    """Host-side LU + eigen inertia (numpy LAPACK). The safe path is the
+    *stable fallback* and deliberately runs on the host: the reference's
+    equivalent is MA57/dsytrf on the CPU while the quick path lives on the
+    accelerator, and this environment's TPU compiler lacks f64 LU anyway
+    (see linalg/small_solve.py)."""
+    import numpy as _np
+    import scipy.linalg as _sla
+
+    Mh = _np.asarray(M)
+    lu, piv = _sla.lu_factor(Mh)
+    delta_cc = float(delta_cc)
+    w = _np.linalg.eigvalsh(0.5 * (Mh + Mh.T))
+    tol = 1e1 * _np.finfo(Mh.dtype).eps * max(float(_np.max(_np.abs(w))), 1.0)
+    if delta_cc > 0.0:
+        n_neg_eig = int(_np.sum(w < 0.0))
+    else:
+        n_neg = int(_np.sum(w < -tol))
+        n_zero = int(_np.sum(_np.abs(w) <= tol))
+        n_neg_eig = -1 if n_zero > 0 else n_neg
+    return lu, piv, _np.asarray(n_neg_eig)
 
 
 def factorize_safe(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     n = H.shape[0]
     mc, md = Jc.shape[0], Jd.shape[0]
     M = assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd)
-    lu, piv, n_neg_eig = _lu_with_inertia(M, jnp.asarray(delta_cc, M.dtype))
-    ok = jnp.all(jnp.isfinite(lu))
+    lu, piv, n_neg_eig = _lu_with_inertia(M, delta_cc)
+    import numpy as _np
+
+    ok = jnp.asarray(bool(_np.all(_np.isfinite(lu))))
     return SafeFactors(lu, piv, n, mc, md, n_neg_eig, ok)
 
 
 def solve_safe(f: SafeFactors, rx_t, rd_t, ryc, ryd):
     # not jitted at this level: the slice sizes (n, mc, md) are Python ints
     # carried in the factors; lu_solve itself dispatches compiled kernels
-    rhs = jnp.concatenate([rx_t, rd_t, ryc, ryd])
-    sol = jax.scipy.linalg.lu_solve((f.lu, f.piv), rhs)
+    import numpy as _np
+    import scipy.linalg as _sla
+
+    rhs = _np.concatenate([_np.asarray(rx_t), _np.asarray(rd_t), _np.asarray(ryc), _np.asarray(ryd)])
+    sol = jnp.asarray(_sla.lu_solve((f.lu, f.piv), rhs))
     n, mc, md = f.n, f.mc, f.md
     dx = sol[:n]
     dd = sol[n:n + md]

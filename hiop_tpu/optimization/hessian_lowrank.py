@@ -35,6 +35,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from hiop_tpu.linalg.small_solve import solve_small
+
 
 class BfgsState(NamedTuple):
     S: jax.Array        # (l_max, n) rows s_i, chronological (oldest first)
@@ -133,7 +135,7 @@ def solve(state: BfgsState, Dx: jax.Array, rhs: jax.Array) -> jax.Array:
     R = rhs[:, None] if single else rhs               # (n, k)
     DR = dh_inv[:, None] * R
     t = U @ DR                                        # (2l, k) — n-contraction (psum)
-    w = jnp.linalg.solve(V, t) * act2[:, None]
+    w = solve_small(V, t) * act2[:, None]
     out = DR - dh_inv[:, None] * (U.T @ w)
     return out[:, 0] if single else out
 
@@ -153,5 +155,5 @@ def times_vec(state: BfgsState, x: jax.Array) -> jax.Array:
     N = N * act2[:, None] * act2[None, :] + jnp.diag(1.0 - act2)
     U = jnp.concatenate([sigma * Sm, Ym], axis=0)
     t = U @ x
-    w = jnp.linalg.solve(N, t) * act2
+    w = solve_small(N, t) * act2
     return sigma * x - U.T @ w

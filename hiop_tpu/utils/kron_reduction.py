@@ -36,18 +36,25 @@ class KronReduction:
         self._Yab = jnp.asarray(Y[np.ix_(keep, aux)])
         self._Yba = jnp.asarray(Y[np.ix_(aux, keep)])
         self._Yaa = jnp.asarray(Y[np.ix_(keep, keep)])
-        Ybb = jnp.asarray(Y[np.ix_(aux, aux)])
-        self._lu = jax.scipy.linalg.lu_factor(Ybb)
+        # the complex LU stays on the host (scipy/UMFPACK-analogue): this
+        # environment's TPU compiler implements LU only for f32/c64
+        import scipy.linalg as _sla
+
+        self._lu = _sla.lu_factor(Y[np.ix_(aux, aux)])
 
     def reduce(self) -> jax.Array:
         """Y_red = Yaa - Yab Ybb^{-1} Yba (buildKronRed)."""
         if self.aux_idx.size == 0:
             return self._Yaa
-        X = jax.scipy.linalg.lu_solve(self._lu, self._Yba)
+        import scipy.linalg as _sla
+
+        X = jnp.asarray(_sla.lu_solve(self._lu, np.asarray(self._Yba)))
         return self._Yaa - self._Yab @ X
 
     def apply_nonaux_to_aux(self, v_nonaux) -> jax.Array:
         """Recover aux-bus voltages from non-aux voltages:
         v_aux = -Ybb^{-1} Yba v_nonaux (apply_nonaux_to_aux)."""
-        v = jnp.asarray(v_nonaux, jnp.complex128)
-        return -jax.scipy.linalg.lu_solve(self._lu, self._Yba @ v)
+        import scipy.linalg as _sla
+
+        v = np.asarray(v_nonaux, np.complex128)
+        return -jnp.asarray(_sla.lu_solve(self._lu, np.asarray(self._Yba) @ v))
