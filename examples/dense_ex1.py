@@ -34,6 +34,7 @@ SELFCHECK = {500: (8.6156700e-2, 1e-6), 5000: (8.6156106e-02, 1e-6), 50000: (8.6
 
 class DenseConsEx1(DenseConstraintsProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(self, n: int = 1000, ratio: float = 1.0):
         self.n = n

@@ -44,6 +44,7 @@ SELFCHECK_UNCON = {500: (1.56250004019985e-02, 1e-6), 5000: (1.56250035348275e-0
 
 class DenseConsEx2(DenseConstraintsProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(self, n: int = 1000, unconstrained: bool = False):
         assert n >= 4

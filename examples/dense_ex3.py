@@ -41,6 +41,7 @@ SELFCHECK_REFERENCE = {500: 2.057860427672e+00, 5000: 2.02870382737020e+01, 5000
 
 class DenseConsEx3(DenseConstraintsProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(self, n: int = 500):
         assert n >= 4

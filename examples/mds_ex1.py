@@ -34,6 +34,7 @@ SELFCHECK_OBJ = -4.9994906229741609e01  # ns=400, nd=100
 
 class MdsEx1(MdsProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(self, ns: int = 400, nd: int = 100, empty_sp_row: bool = False):
         """empty_sp_row=True drops x_2 from the second inequality, leaving a

@@ -36,6 +36,7 @@ SELFCHECK = {
 
 class SparseEx1(SparseProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(self, n: int = 50, scal: float = 1.0):
         assert n >= 3

@@ -35,6 +35,7 @@ SELFCHECK_REFERENCE = {50: 7.565566821330e00, 500: 8.284201575839e01, 5000: 8.06
 
 class SparseEx3(SparseProblem):
     jittable = True
+    jac_constant = True  # all constraints are linear (hiopLinear)
 
     def __init__(
         self,

@@ -277,6 +277,18 @@ class NlpFormulation:
 
     # ------------------------------------------------------------- callbacks
     def user_callback_iterate(self, info) -> bool:
+        if self.options.str_("callback_mem_space") == "host":
+            # hand numpy arrays to the user (reference callback_mem_space
+            # semantics, hiopInterface.hpp:395-399)
+            import dataclasses
+
+            info = dataclasses.replace(
+                info,
+                x=np.asarray(info.x), z_L=np.asarray(info.z_L),
+                z_U=np.asarray(info.z_U), s=np.asarray(info.s),
+                g=np.asarray(info.g), yc=np.asarray(info.yc),
+                yd=np.asarray(info.yd),
+            )
         return self.problem.iterate_callback(info)
 
     def user_callback_solution(self, status, x, zl, zu, cons, lam, obj) -> None:

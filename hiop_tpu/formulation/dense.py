@@ -36,11 +36,18 @@ class NlpDenseConstraints(NlpFormulation):
 
     def eval_jac(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (Jc (m_eq, n), Jd (m_ineq, n)), scaled."""
+        if getattr(self.problem, "jac_constant", False):
+            cached = getattr(self, "_jac_cache", None)
+            if cached is not None:
+                return cached
         self.runstats.n_eval_jac += 1
         with self.runstats.tm_eval_jac:
             J = jnp.asarray(self.problem.eval_jac_cons(x))
         J = J * jnp.asarray(self._scale_cons)[:, None]
-        return J[self.eq_idx, :], J[self.ineq_idx, :]
+        out = (J[self.eq_idx, :], J[self.ineq_idx, :])
+        if getattr(self.problem, "jac_constant", False):
+            self._jac_cache = out
+        return out
 
     def eval_hess(self, x, obj_factor, yc, yd):
         """Dense scaled Lagrangian Hessian: requires the problem to provide

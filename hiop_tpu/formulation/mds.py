@@ -51,6 +51,10 @@ class NlpMDS(NlpFormulation):
     def eval_jac(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Dense (m_eq, n)/(m_ineq, n) materialization for the generic paths;
         the MDS KKT consumes the blocks via eval_jac_blocks_split."""
+        if getattr(self.problem, "jac_constant", False):
+            cached = getattr(self, "_jac_cache", None)
+            if cached is not None:
+                return cached
         (veq, vin), De, Di = self.eval_jac_blocks_split(x)
         Jc = jnp.zeros((self.m_eq, self.n), x.dtype)
         Jd = jnp.zeros((self.m_ineq, self.n), x.dtype)
@@ -60,6 +64,8 @@ class NlpMDS(NlpFormulation):
         if self.m_ineq:
             Jd = Jd.at[self.jac_sp_in_rows, self.jac_sp_in_cols].add(vin)
             Jd = Jd.at[:, self.n_sparse:].set(Di)
+        if getattr(self.problem, "jac_constant", False):
+            self._jac_cache = (Jc, Jd)
         return Jc, Jd
 
     def eval_jac_blocks_split(self, x):

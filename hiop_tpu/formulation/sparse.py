@@ -54,6 +54,10 @@ class NlpSparse(NlpFormulation):
         """Returns (Jc, Jd) as scaled *dense* arrays — the TPU-native sparse
         path keeps triplet values for KKT assembly; dense materialization is
         used by the generic residual/LSQ paths for moderate n."""
+        if getattr(self.problem, "jac_constant", False):
+            cached = getattr(self, "_jac_cache", None)
+            if cached is not None:
+                return cached
         vals_eq, vals_in = self.eval_jac_vals_split(x)
         Jc = jnp.zeros((self.m_eq, self.n), x.dtype).at[
             self.jac_eq_rows, self.jac_eq_cols
@@ -61,6 +65,8 @@ class NlpSparse(NlpFormulation):
         Jd = jnp.zeros((self.m_ineq, self.n), x.dtype).at[
             self.jac_in_rows, self.jac_in_cols
         ].add(vals_in)
+        if getattr(self.problem, "jac_constant", False):
+            self._jac_cache = (Jc, Jd)
         return Jc, Jd
 
     def eval_jac_vals_split(self, x):

@@ -67,6 +67,9 @@ class NlpProblem:
 
     #: True when eval_* are jax-traceable pure functions (enables fused jit).
     jittable: bool = False
+    #: True when ALL constraints are linear (the reference's hiopLinear
+    #: NonlinearityType): the Jacobian is evaluated once and cached.
+    jac_constant: bool = False
 
     # -- sizes & data -------------------------------------------------------
     def get_prob_sizes(self) -> Tuple[int, int]:

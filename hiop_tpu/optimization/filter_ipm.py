@@ -384,8 +384,22 @@ class _MdsStrategy:
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
         self.ns = nlp.n_sparse
+        self._fact_dtype_opt = (
+            jnp.float32 if o.str_("kkt_fact_dtype") == "float32" else jnp.float64
+        )
+        self._mu = 1.0
         self._data = None
         self._factors = None
+
+    @property
+    def fact_dtype(self):
+        """Mixed-precision schedule (see _NewtonDenseStrategy.fact_dtype)."""
+        if self._fact_dtype_opt == jnp.float64:
+            return jnp.float64
+        return jnp.float32 if self._mu >= 1e-4 else jnp.float64
+
+    def _cast(self, a):
+        return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
         ns = self.ns
@@ -399,6 +413,7 @@ class _MdsStrategy:
             )
         self.perturb.set_mu(float(mu))
         self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
         self._factors = None
 
     def _factorize(self):
@@ -408,8 +423,10 @@ class _MdsStrategy:
         d = self._data
         with self.stats.kkt.tm_update_fact:
             return kkt_mds.factorize(
-                d["hss"], d["Hdd"], d["Dxs"], d["Dxd"], d["Dd"],
-                d["Jc_s"], d["Jc_d"], d["Jd_s"], d["Jd_d"],
+                self._cast(d["hss"]), self._cast(d["Hdd"]),
+                self._cast(d["Dxs"]), self._cast(d["Dxd"]), self._cast(d["Dd"]),
+                self._cast(d["Jc_s"]), self._cast(d["Jc_d"]),
+                self._cast(d["Jd_s"]), self._cast(d["Jd_d"]),
                 p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
             )
 
@@ -417,10 +434,16 @@ class _MdsStrategy:
         from hiop_tpu.kkt import mds as kkt_mds
 
         ns = self.ns
+        if self.fact_dtype != jnp.float64:
+            rx_t, rd_t = self._cast(rx_t), self._cast(rd_t)
+            ryc, ryd = self._cast(ryc), self._cast(ryd)
         dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
             f, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
         )
-        return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+        out = jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+        if self.fact_dtype != jnp.float64:
+            out = tuple(a.astype(jnp.float64) for a in out)
+        return out
 
     def compute_direction(self, resid, it: Iterate, b: Bounds):
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
@@ -775,12 +798,15 @@ class FilterIPMBase:
         self.solver_status = SolveStatus.NlpSolve_Pending
         self.iter_num = 0
 
-        # problem summary + options echo at start (reference cpp:981-989)
+        # problem summary + options echo at start (reference cpp:981-989;
+        # version banner = hiopVersion parity)
+        import hiop_tpu as _pkg
+
         self.log.printf(
             Verbosity.SUMMARY,
-            "Problem: %d variables, %d eq + %d ineq constraints "
+            "hiop_tpu %s | Problem: %d variables, %d eq + %d ineq constraints "
             "(%d/%d lower/upper var bounds, %d/%d ineq bounds); solver %s",
-            nlp.n, m_eq, m_ineq,
+            _pkg.__version__, nlp.n, m_eq, m_ineq,
             nlp.n_bnds_low, nlp.n_bnds_upp, nlp.m_ineq_low, nlp.m_ineq_upp,
             type(self).__name__,
         )
@@ -1315,7 +1341,7 @@ class FilterIPMNewton(FilterIPMBase):
         self.theta_min = self.theta_min_fact * max(1.0, theta0)
         consts = dict(
             kappa_d=self.kappa_d, kappa_Sigma=self.kappa_Sigma,
-            theta_min=self.theta_min, gamma_theta=self.gamma_theta,
+            gamma_theta=self.gamma_theta,
             gamma_phi=self.gamma_phi, s_theta=self.s_theta, s_phi=self.s_phi,
             delta=self.delta, eta_phi=self.eta_phi,
             min_step_size=self.min_step_size, smax=self.smax,
@@ -1332,7 +1358,7 @@ class FilterIPMNewton(FilterIPMBase):
         printed_header = False
 
         while True:
-            new_state, s = step(state, mu, tau, jnp.asarray(filt), filt_len)
+            new_state, s = step(state, mu, tau, jnp.asarray(filt), filt_len, self.theta_min)
             sh = jax.device_get(s)
             err_nlp = float(sh.err_nlp)
             err_log = float(sh.err_log)

@@ -70,13 +70,26 @@ class FusedState(NamedTuple):
 
 
 def build_fused_step(nlp, consts):
-    """Returns a jitted step(state, mu, tau, filt, filt_len) ->
-    (new_state, FusedScalars). `nlp` must have jittable evaluations."""
+    """Returns a jitted step(state, mu, tau, filt, filt_len, theta_min) ->
+    (new_state, FusedScalars). `nlp` must have jittable evaluations.
+
+    The compiled step is cached on the formulation (keyed on the
+    option-constant tuple) so repeated solves reuse the XLA executable —
+    a recompile costs minutes through this environment's compile relay."""
+    key = tuple(sorted(consts.items()))
+    cached = getattr(nlp, "_fused_step_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    step = _build_fused_step_uncached(nlp, consts)
+    nlp._fused_step_cache = (key, step)
+    return step
+
+
+def _build_fused_step_uncached(nlp, consts):
     b: Bounds = nlp.bounds
     crhs = nlp.crhs
     kappa_d = consts["kappa_d"]
     kappa_sigma = consts["kappa_Sigma"]
-    theta_min = consts["theta_min"]
     gamma_theta = consts["gamma_theta"]
     gamma_phi = consts["gamma_phi"]
     s_theta = consts["s_theta"]
@@ -111,7 +124,7 @@ def build_fused_step(nlp, consts):
         dom = (theta >= filt[:, 0]) & (phi >= filt[:, 1]) & valid
         return jnp.any(dom)
 
-    def step(state: FusedState, mu, tau, filt, filt_len):
+    def step(state: FusedState, mu, tau, filt, filt_len, theta_min):
         it, f, c, d_eval, grad, Jc, Jd = state
 
         # residual + errors at the current point

@@ -85,3 +85,43 @@ def test_sharded_reduction_is_replicated_scalar():
     x = shard_n(mesh, jnp.arange(512, dtype=jnp.float64))
     s = jnp.sum(x)
     assert float(s) == 512 * 511 / 2
+
+
+@needs_multi
+def test_pridec_scenarios_sharded_over_mesh():
+    """Scenario-batch evaluation sharded across the mesh (the TPU analogue
+    of the reference's PriDec MPI scenario distribution, SURVEY.md §2.10)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import examples.pridec_ex1 as px1
+
+    mesh = make_mesh(8, axis_name="s")
+    p = px1.PriDecEx1(16, 64)
+    x0 = np.zeros(16)
+    idxs = jax.device_put(
+        jnp.arange(64), NamedSharding(mesh, P("s"))
+    )
+    rvals, grads = p.eval_rterms_batched(idxs, x0)
+    # sharded batch axis in, correct totals out
+    rv_ref = [p.eval_f_rterm(i, x0) for i in range(64)]
+    assert np.allclose(np.asarray(rvals), rv_ref)
+    assert grads.shape == (64, 16)
+
+
+@needs_multi
+def test_callback_mem_space_host():
+    o = NlpOptions()
+    o.update(verbosity_level=0, callback_mem_space="host", max_iter=3)
+    prob = ex1.DenseConsEx1(128)
+    seen = []
+
+    def cb(info):
+        seen.append(type(info.x))
+        return True
+
+    prob.iterate_callback = cb
+    nlp = NlpDenseConstraints(prob, o)
+    FilterIPMQuasiNewton(nlp).run()
+    assert all(t is np.ndarray for t in seen)
