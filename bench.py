@@ -12,9 +12,18 @@ reference's 288-core anchor).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: first-ever compile of each program costs
+# minutes through this environment's remote-compile relay; cached runs are
+# seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+_T0 = time.time()
+_TIME_BUDGET_S = 420.0  # skip secondary measurements when compiles eat the budget
 
 
 def _measure(jitted, args, iters):
@@ -68,7 +77,10 @@ def _bench_qn_large():
 
 def main():
     dt_mds, mds_shape = _bench_mds()
-    dt_qn, n_qn = _bench_qn_large()
+    if time.time() - _T0 < _TIME_BUDGET_S:
+        dt_qn, n_qn = _bench_qn_large()
+    else:
+        dt_qn, n_qn = None, None
     if dt_mds is None and dt_qn is None:
         print(json.dumps({"metric": "kkt_core", "value": 0.0, "unit": "failed", "vs_baseline": 0.0}))
         return

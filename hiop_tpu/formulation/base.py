@@ -163,6 +163,15 @@ class NlpFormulation:
             idu=jnp.asarray(idu),
         )
 
+        # execution space (L0): place solver arrays per compute_mode
+        from hiop_tpu.backends.execspace import ExecSpaceInfo
+
+        self.exec_space = ExecSpaceInfo.from_options(self.options)
+        if self.exec_space.device is not None:
+            import jax
+
+            self.bounds = jax.tree.map(self.exec_space.place, self.bounds)
+
         # scaling factors set on first gradient evaluation
         self.scale_obj = 1.0
         self._scale_cons = np.ones(self.m)

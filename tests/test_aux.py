@@ -114,3 +114,30 @@ def test_moving_limits():
 def test_elastic_mode():
     r = sx1.solve(20, verbosity_level=0, elastic_mode="correct_it")
     assert r.status.is_success
+
+
+def test_iajaaa_roundtrip():
+    from hiop_tpu.utils.kkt_io import read_iajaaa, write_iajaaa
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((6, 6))
+    A[np.abs(A) < 0.7] = 0.0
+    rhs = rng.standard_normal(6)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "kkt.iajaaa")
+        write_iajaaa(path, A, rhs=rhs)
+        A2, vecs = read_iajaaa(path)
+    assert np.allclose(A2, A)
+    assert np.allclose(vecs[0], rhs)
+
+
+def test_execspace_resolution():
+    from hiop_tpu import NlpOptions
+    from hiop_tpu.backends.execspace import ExecSpaceInfo
+
+    o = NlpOptions()
+    o.update(compute_mode="cpu")
+    info = ExecSpaceInfo.from_options(o)
+    assert info.device is not None and info.device.platform == "cpu"
+    o.update(exec_policies="pallas")
+    assert ExecSpaceInfo.from_options(o).kernel_backend == "pallas"
