@@ -50,10 +50,35 @@ class NlpSparse(NlpFormulation):
         np.maximum.at(row_norms, self.jac_rows, vals)
         self._setup_scaling(grad0, row_norms)
 
-    def eval_jac(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (Jc, Jd) as scaled *dense* arrays — the TPU-native sparse
-        path keeps triplet values for KKT assembly; dense materialization is
-        used by the generic residual/LSQ paths for moderate n."""
+    @property
+    def matrix_free(self) -> bool:
+        """True when the Jacobian must stay in triplet form: explicit
+        ``linear_solver_sparse`` in {cg, bicgstab}, or 'auto' with a large
+        variable count (dense (m, n) materialization would be O(n^2))."""
+        ls = self.options.str_("linear_solver_sparse")
+        if ls in ("cg", "bicgstab"):
+            return True
+        return ls == "auto" and self.n >= 8192
+
+    def eval_jac(self, x):
+        """Returns (Jc, Jd): scaled dense arrays for moderate n, or
+        :class:`TripletMatrix` handles (O(nnz) matvecs, no densification)
+        in matrix-free mode."""
+        if self.matrix_free:
+            from hiop_tpu.linalg.sparse import TripletMatrix
+
+            if getattr(self.problem, "jac_constant", False):
+                cached = getattr(self, "_jac_cache_mf", None)
+                if cached is not None:
+                    return cached
+            vals_eq, vals_in = self.eval_jac_vals_split(x)
+            out = (
+                TripletMatrix(self.jac_eq_rows, self.jac_eq_cols, vals_eq, (self.m_eq, self.n)),
+                TripletMatrix(self.jac_in_rows, self.jac_in_cols, vals_in, (self.m_ineq, self.n)),
+            )
+            if getattr(self.problem, "jac_constant", False):
+                self._jac_cache_mf = out
+            return out
         if getattr(self.problem, "jac_constant", False):
             cached = getattr(self, "_jac_cache", None)
             if cached is not None:

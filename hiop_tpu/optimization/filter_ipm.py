@@ -368,6 +368,85 @@ class _NewtonDenseStrategy:
         return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
 
 
+class _CondensedMatfreeStrategy:
+    """Matrix-free condensed KKT for large sparse inequality-only NLPs:
+    triplet matvecs + Jacobi-preconditioned CG (kkt/condensed_matfree.py).
+    CG negative-curvature breakdown plays the role of a failed Cholesky in
+    the regularization ladder."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp, logger, stats):
+        from hiop_tpu.kkt import condensed_matfree as cmf
+
+        o = nlp.options
+        if nlp.m_eq > 0:
+            raise ValueError("condensed KKT requires an inequality-only NLP")
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(o, for_newton=True)
+        self.ops = cmf.build_ops(
+            nlp.jac_in_rows, nlp.jac_in_cols, nlp.hess_rows, nlp.hess_cols,
+            nlp.n, nlp.m_ineq,
+        )
+        self.cg_maxit = max(o.integer("ir_inner_maxit") * 8, 400)
+        self.cg_tol_min = o.num("ir_inner_tol")
+        self._cg_solve = cmf.make_cg_solver(self.ops, maxit=self.cg_maxit)
+        self._mu = 1.0
+        self._state = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        with self.stats.kkt.tm_update_init:
+            jd_vals = Jd.vals if hasattr(Jd, "vals") else None
+            if jd_vals is None:
+                _, jd_vals = self.nlp.eval_jac_vals_split(it.x)
+            h_vals = self.nlp.eval_hess_vals(it.x, 1.0, it.yc, it.yd)
+            Dx, Dd = res_mod.barrier_diagonals(it, b)
+            self._state = (jd_vals, h_vals, Dx, Dd)
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
+
+    def _cg_tol(self):
+        return max(self.cg_tol_min, min(1e-8, 1e-2 * self._mu))
+
+    def _solve(self, rx_t, rd_t, ryd):
+        jd_vals, h_vals, Dx, Dd = self._state
+        p = self.perturb
+        return self._cg_solve(
+            h_vals, jd_vals, Dx, Dd, rx_t, rd_t, ryd,
+            p.delta_wx, p.delta_wd, p.delta_cd, self._cg_tol(),
+        )
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds):
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        n_corr = 0
+        for _ in range(self.MAX_REFACT):
+            with self.stats.kkt.tm_solve_inner:
+                dx, dd, dyd, (conv, neg, iters, rnorm) = self._solve(rx_t, rd_t, ryd)
+            self.stats.kkt.n_iter_refin_inner += int(iters)
+            if bool(neg) or not bool(conv):
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not self.perturb.compute_perturb_wrong_inertia():
+                    raise _StepComputationError("matrix-free regularization exhausted")
+                continue
+            self.perturb.update_fact_ok()
+            dir_ = res_mod.recover_direction(
+                resid, it, b, dx, dd, jnp.zeros_like(ryc), dyd
+            )
+            return dir_, True
+        raise _StepComputationError("matrix-free CG failed to converge")
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyd, _info = self._solve(rx_t, rd_t, ryd)
+        return res_mod.recover_direction(
+            resid, it, b, dx, dd, jnp.zeros_like(ryc), dyd
+        )
+
+
 class _MdsStrategy:
     """Mixed dense-sparse KKT (hiopKKTLinSysCompressedMDSXYcYd): diagonal
     sparse Hessian block eliminated, dense block Cholesky, Schur Cholesky
@@ -762,7 +841,7 @@ class FilterIPMBase:
             it_curr = it_mod.determine_slacks(it_curr, b)
         grad_f = nlp.eval_grad_f(x0)
         Jc, Jd = nlp.eval_jac(x0)
-        if warm is None and o.str_("duals_init") == "lsq":
+        if warm is None and o.str_("duals_init") == "lsq" and not hasattr(Jc, "vals"):
             yc, yd = du.initial_duals_lsq(
                 Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
                 o.num("duals_lsq_ini_max"),
@@ -918,7 +997,8 @@ class FilterIPMBase:
                 dump_kkt(
                     "hiop_tpu", self.iter_num,
                     H=getattr(strategy, "_H", None), Dx=Dx_dump, Dd=Dd_dump,
-                    Jc=Jc, Jd=Jd,
+                    Jc=Jc if hasattr(Jc, "ndim") else None,
+                    Jd=Jd if hasattr(Jd, "ndim") else None,
                     rx=resid.rx, rd=resid.rd, ryc=resid.ryc, ryd=resid.ryd,
                     dx=dir_.x, dd=dir_.d, dyc=dir_.yc, dyd=dir_.yd,
                     mu=jnp.asarray(mu),
@@ -1000,7 +1080,7 @@ class FilterIPMBase:
                     self.solver_status = SolveStatus.Solve_Acceptable_Level
                     break
                 fr = None
-                if not getattr(self, "within_fr", False):
+                if not getattr(self, "within_fr", False) and hasattr(Jc, "ndim"):
                     from hiop_tpu.optimization.fr_problem import (
                         apply_feasibility_restoration,
                     )
@@ -1267,9 +1347,16 @@ class FilterIPMNewton(FilterIPMBase):
 
     def _make_strategy(self):
         from hiop_tpu.formulation.mds import NlpMDS
+        from hiop_tpu.formulation.sparse import NlpSparse
 
         if isinstance(self.nlp, NlpMDS):
             return _MdsStrategy(self.nlp, self.log, self.nlp.runstats)
+        if (
+            isinstance(self.nlp, NlpSparse)
+            and self.opts.str_("KKTLinsys") == "condensed"
+            and self.nlp.matrix_free
+        ):
+            return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
         return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
 
     # ------------------------------------------------------ fused fast path
@@ -1280,7 +1367,6 @@ class FilterIPMNewton(FilterIPMBase):
         if (
             o.str_("jit_mode") == "iteration"
             and getattr(self.nlp.problem, "jittable", False)
-            and not isinstance(self.nlp, NlpMDS)
             and o.str_("warm_start") == "no"
             and o.str_("KKTLinsys") in ("auto", "xdycyd")
         ):

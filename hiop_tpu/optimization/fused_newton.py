@@ -108,6 +108,11 @@ def _build_fused_step_uncached(nlp, consts):
     def derivs(x):
         return nlp.eval_grad_f(x), *nlp.eval_jac(x)
 
+    from hiop_tpu.formulation.mds import NlpMDS
+
+    is_mds = isinstance(nlp, NlpMDS)
+    ns = nlp.n_sparse if is_mds else 0
+
     def hess(x, yc, yd):
         return nlp.eval_hess(x, 1.0, yc, yd)
 
@@ -146,14 +151,30 @@ def _build_fused_step_uncached(nlp, consts):
         )
 
         # direction: quick Cholesky-Schur (no regularization in-fused; a
-        # failed factorization returns fact_ok=False and the host falls back)
-        from hiop_tpu.kkt import newton_dense as kkt_nd
-
-        H = hess(it.x, it.yc, it.yd)
+        # failed factorization returns fact_ok=False and the host falls
+        # back). For MDS formulations the sparse-diagonal elimination +
+        # dense-block Cholesky (kkt/mds.py) replaces the dense quick path.
         Dx, Dd = res_mod.barrier_diagonals(it, b)
-        fct = kkt_nd.factorize_quick(H, Dx, Dd, Jc, Jd, 0.0, 0.0, 0.0, 0.0)
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
-        dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
+        if is_mds:
+            from hiop_tpu.kkt import mds as kkt_mds
+
+            hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
+            fct = kkt_mds.factorize(
+                hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                0.0, 0.0, 0.0, 0.0,
+            )
+            dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
+                fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+            )
+            dx = jnp.concatenate([dxs, dxd])
+        else:
+            from hiop_tpu.kkt import newton_dense as kkt_nd
+
+            H = hess(it.x, it.yc, it.yd)
+            fct = kkt_nd.factorize_quick(H, Dx, Dd, Jc, Jd, 0.0, 0.0, 0.0, 0.0)
+            dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
         dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
 
         ap_max, ad = it_mod.fraction_to_the_boundary(it, dir_, tau, b)

@@ -97,3 +97,23 @@ def test_sparse_ex3_infeasible_detected():
         SolveStatus.Infeasible_Problem,
         SolveStatus.Steplength_Too_Small,
     )
+
+
+def test_matrix_free_condensed_matches_dense():
+    r_dense = sx1.solve(200, verbosity_level=0, KKTLinsys="condensed")
+    r_mf = sx1.solve(
+        200, verbosity_level=0, KKTLinsys="condensed", linear_solver_sparse="cg"
+    )
+    assert r_mf.status.is_success
+    assert _rel(r_mf.obj, r_dense.obj) < 1e-6
+
+
+def test_matrix_free_condensed_large_n():
+    """O(nnz) path: n=20000 sparse NLP with no dense (m,n) or (n,n)
+    materialization anywhere in the solve."""
+    r = sx1.solve(
+        20000, verbosity_level=0, KKTLinsys="condensed", linear_solver_sparse="cg"
+    )
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[5000]  # objective approaches the same limit
+    assert abs(r.obj - 1.10351e-01) < 1e-4
