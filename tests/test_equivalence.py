@@ -103,3 +103,10 @@ def test_fused_iteration_fallback_on_hard_problem():
     assert r.status.is_success
     ref, tol = sx2.SELFCHECK[50]
     assert _rel(r.obj, ref) <= tol
+
+
+def test_fused_mds_matches_general_path():
+    r_fused = mx1.solve(48, 16, driver_options=False, verbosity_level=0, jit_mode="iteration")
+    r_std = mx1.solve(48, 16, driver_options=False, verbosity_level=0)
+    assert r_fused.status.is_success
+    assert _rel(r_fused.obj, r_std.obj) < 1e-7
