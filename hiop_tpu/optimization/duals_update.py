@@ -39,11 +39,46 @@ def lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu):
     return y[:mc], y[mc:]
 
 
+def lsq_duals_matfree(Jc, Jd, grad_f, zl, zu, vl, vu, tol=1e-10, maxit=200):
+    """LSQ duals via CG on the normal equations with Jacobian matvec
+    handles (TripletMatrix) — the reference's sparse augmented LSQ
+    realization (hiopDualsLsqUpdateLinsysAugSparse, hpp:357) without ever
+    forming J J^T."""
+    from hiop_tpu.linalg import krylov
+
+    mc, md = Jc.shape[0], Jd.shape[0]
+    if mc + md == 0:
+        z = jnp.zeros((0,), jnp.float64)
+        return z, z
+    r1 = -grad_f + zl - zu
+    r2 = -vl + vu
+
+    def matvec(y):
+        yc, yd = y[:mc], y[mc:]
+        v = (Jc.T @ yc if mc else 0.0) + (Jd.T @ yd if md else 0.0)
+        top = Jc @ v if mc else jnp.zeros((0,), grad_f.dtype)
+        bot = (Jd @ v if md else jnp.zeros((0,), grad_f.dtype)) + yd
+        return jnp.concatenate([top, bot])
+
+    rhs = jnp.concatenate(
+        [
+            Jc @ r1 if mc else jnp.zeros((0,), grad_f.dtype),
+            (Jd @ r1 if md else jnp.zeros((0,), grad_f.dtype)) + r2,
+        ]
+    )
+    y, info = krylov.pcg(matvec, rhs, tol=tol, maxit=maxit)
+    return y[:mc], y[mc:]
+
+
 def initial_duals_lsq(Jc, Jd, grad_f, zl, zu, vl, vu, lsq_max: float):
     """LSQ initialization with the duals_lsq_ini_max cap
     (compute_initial_duals_eq): falls back to zeros when the LSQ duals are
-    large (badly scaled problems)."""
-    yc, yd = lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu)
+    large (badly scaled problems). Dispatches to the matvec-based CG
+    realization for matrix-free Jacobian handles."""
+    if hasattr(Jc, "vals") or hasattr(Jd, "vals"):
+        yc, yd = lsq_duals_matfree(Jc, Jd, grad_f, zl, zu, vl, vu)
+    else:
+        yc, yd = lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu)
     ynrm = max(
         float(jnp.max(jnp.abs(yc))) if yc.size else 0.0,
         float(jnp.max(jnp.abs(yd))) if yd.size else 0.0,

@@ -841,7 +841,7 @@ class FilterIPMBase:
             it_curr = it_mod.determine_slacks(it_curr, b)
         grad_f = nlp.eval_grad_f(x0)
         Jc, Jd = nlp.eval_jac(x0)
-        if warm is None and o.str_("duals_init") == "lsq" and not hasattr(Jc, "vals"):
+        if warm is None and o.str_("duals_init") == "lsq":
             yc, yd = du.initial_duals_lsq(
                 Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
                 o.num("duals_lsq_ini_max"),
@@ -1182,6 +1182,7 @@ class FilterIPMBase:
             "Solver status: %s, objective %.12e, iterations %d",
             self.solver_status.name, obj, self.iter_num,
         )
+        self.log.printf(Verbosity.SCALARS, "%s", self.nlp.runstats.get_summary())
         return SolverResult(
             status=self.solver_status,
             x=np.asarray(it_curr.x),

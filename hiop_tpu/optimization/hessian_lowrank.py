@@ -28,7 +28,6 @@ skip when ||s||_inf < 100*eps or s^T y <= ||s|| ||y|| sqrt(eps)).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

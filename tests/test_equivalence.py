@@ -110,3 +110,26 @@ def test_fused_mds_matches_general_path():
     r_std = mx1.solve(48, 16, driver_options=False, verbosity_level=0)
     assert r_fused.status.is_success
     assert _rel(r_fused.obj, r_std.obj) < 1e-7
+
+
+def test_golden_iteration_table():
+    """Numerics regression guard: the dense Ex1 n=100 iteration table must
+    match the stored golden file byte-for-byte (regenerate deliberately with
+    tests/data/golden_dense_ex1_n100.txt when the algorithm changes)."""
+    import os
+
+    import examples.dense_ex1 as ex1
+    from hiop_tpu import FilterIPMQuasiNewton, NlpDenseConstraints, NlpOptions
+
+    buf = io.StringIO()
+    o = NlpOptions()
+    o.update(verbosity_level=3)
+    nlp = NlpDenseConstraints(ex1.DenseConsEx1(100), o)
+    nlp.log = Logger(3, stream=buf)
+    FilterIPMQuasiNewton(nlp).run()
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "golden_dense_ex1_n100.txt"
+    )
+    with open(golden_path) as f:
+        golden = f.read()
+    assert buf.getvalue() == golden
