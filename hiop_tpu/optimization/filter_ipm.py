@@ -770,7 +770,7 @@ class FilterIPMBase:
             )
 
     # ------------------------------------------------------------------ run
-    def run(self) -> SolverResult:
+    def _run_general(self) -> SolverResult:
         nlp = self.nlp
         stats = nlp.runstats
         stats.tm_optimize_total.restart()
@@ -1330,46 +1330,19 @@ class FilterIPMBase:
         return None
 
 
-class FilterIPMQuasiNewton(FilterIPMBase):
-    """IPM with limited-memory BFGS Hessian for dense-constrained NLPs
-    (hiopAlgFilterIPMQuasiNewton, hpp:349). Always runs in "safe mode"
-    (cpp:1085); the KKT system is the low-rank Schur solve."""
-
-    def _make_strategy(self):
-        return _LowRankStrategy(self.nlp)
-
-
-class FilterIPMNewton(FilterIPMBase):
-    """IPM with exact second order (hiopAlgFilterIPMNewton, hpp:446).
-
-    The KKT class ladder (decideAndCreateLinearSystem, cpp:1848-1901) picks
-    the dense XDYcYd system here; the formulation provides the Hessian
-    (dense from autodiff, assembled from triplets for sparse problems)."""
-
-    def _make_strategy(self):
-        from hiop_tpu.formulation.mds import NlpMDS
-        from hiop_tpu.formulation.sparse import NlpSparse
-
-        if isinstance(self.nlp, NlpMDS):
-            return _MdsStrategy(self.nlp, self.log, self.nlp.runstats)
-        if (
-            isinstance(self.nlp, NlpSparse)
-            and self.opts.str_("KKTLinsys") == "condensed"
-            and self.nlp.matrix_free
-        ):
-            return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
-        return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
-
     # ------------------------------------------------------ fused fast path
+    #: fused-iteration mode for this solver class ('newton'/'qn'); None
+    #: disables the fast path
+    _fused_mode = None
+
     def run(self) -> SolverResult:
         o = self.opts
-        from hiop_tpu.formulation.mds import NlpMDS
-
         if (
-            o.str_("jit_mode") == "iteration"
+            self._fused_mode is not None
+            and o.str_("jit_mode") == "iteration"
             and getattr(self.nlp.problem, "jittable", False)
             and o.str_("warm_start") == "no"
-            and o.str_("KKTLinsys") in ("auto", "xdycyd")
+            and (self._fused_mode == "qn" or o.str_("KKTLinsys") in ("auto", "xdycyd"))
         ):
             try:
                 return self._run_fused()
@@ -1384,7 +1357,7 @@ class FilterIPMNewton(FilterIPMBase):
                 self._n_accep = 0
                 self._err_nlp0 = None
                 self.iter_num = 0
-        return super().run()
+        return self._run_general()
 
     def _run_fused(self) -> SolverResult:
         """One jitted XLA computation per IPM iteration (fused_newton.py);
@@ -1433,9 +1406,26 @@ class FilterIPMNewton(FilterIPMBase):
             delta=self.delta, eta_phi=self.eta_phi,
             min_step_size=self.min_step_size, smax=self.smax,
         )
-        step = fn.build_fused_step(nlp, consts)
-        state = fn.FusedState(it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
-                              grad=grad_f, Jc=Jc, Jd=Jd)
+        if self._fused_mode == "qn":
+            from hiop_tpu.optimization import hessian_lowrank as blr
+
+            consts.update(
+                sigma_update_strategy=o.str_("sigma_update_strategy"),
+                sigma0=o.num("sigma0"),
+                recalc_lsq_duals_tol=o.num("recalc_lsq_duals_tol"),
+            )
+            step = fn.build_fused_step(nlp, consts, mode="qn")
+            bfgs0 = blr.init_state(n, o.integer("secant_memory_len"), o.num("sigma0"))
+            state = fn.FusedQNState(
+                it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
+                grad=grad_f, Jc=Jc, Jd=Jd, bfgs=bfgs0,
+                x_prev=it_curr.x, grad_prev=grad_f, Jc_prev=Jc, Jd_prev=Jd,
+                have_prev=jnp.asarray(False),
+            )
+        else:
+            step = fn.build_fused_step(nlp, consts)
+            state = fn.FusedState(it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
+                                  grad=grad_f, Jc=Jc, Jd=Jd)
 
         filt = np.full((fn.FILTER_CAP, 2), np.inf)
         filt[0] = (self.theta_max, -np.inf)
@@ -1512,3 +1502,40 @@ class FilterIPMNewton(FilterIPMBase):
             status=self.solver_status, x=np.asarray(state.it.x), obj=obj,
             iterations=self.iter_num, err_nlp=float(err_nlp), mu=mu,
         )
+
+
+class FilterIPMQuasiNewton(FilterIPMBase):
+    """IPM with limited-memory BFGS Hessian for dense-constrained NLPs
+    (hiopAlgFilterIPMQuasiNewton, hpp:349). Always runs in "safe mode"
+    (cpp:1085); the KKT system is the low-rank Schur solve."""
+
+    _fused_mode = "qn"
+
+    def _make_strategy(self):
+        return _LowRankStrategy(self.nlp)
+
+
+class FilterIPMNewton(FilterIPMBase):
+    """IPM with exact second order (hiopAlgFilterIPMNewton, hpp:446).
+
+    The KKT class ladder (decideAndCreateLinearSystem, cpp:1848-1901) picks
+    the dense XDYcYd system here; the formulation provides the Hessian
+    (dense from autodiff, assembled from triplets for sparse problems)."""
+
+    _fused_mode = "newton"
+
+    def _make_strategy(self):
+        from hiop_tpu.formulation.mds import NlpMDS
+        from hiop_tpu.formulation.sparse import NlpSparse
+
+        if isinstance(self.nlp, NlpMDS):
+            return _MdsStrategy(self.nlp, self.log, self.nlp.runstats)
+        if (
+            isinstance(self.nlp, NlpSparse)
+            and self.opts.str_("KKTLinsys") == "condensed"
+            and self.nlp.matrix_free
+        ):
+            return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
+        return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
+
+

@@ -69,23 +69,48 @@ class FusedState(NamedTuple):
     Jd: jax.Array
 
 
-def build_fused_step(nlp, consts):
+class FusedQNState(NamedTuple):
+    """Fused quasi-Newton carry: the Newton state + BFGS memory + the
+    previous accepted point's derivatives (for the secant update)."""
+
+    it: Iterate
+    f: jax.Array
+    c: jax.Array
+    d: jax.Array
+    grad: jax.Array
+    Jc: jax.Array
+    Jd: jax.Array
+    bfgs: "object"          # hessian_lowrank.BfgsState
+    x_prev: jax.Array
+    grad_prev: jax.Array
+    Jc_prev: jax.Array
+    Jd_prev: jax.Array
+    have_prev: jax.Array    # bool: secant update valid
+
+
+def build_fused_step(nlp, consts, mode: str = "newton"):
     """Returns a jitted step(state, mu, tau, filt, filt_len, theta_min) ->
     (new_state, FusedScalars). `nlp` must have jittable evaluations.
+    mode='newton' uses the exact-Hessian quick path; mode='qn' carries the
+    compact-BFGS memory in the state (FusedQNState) with the low-rank Schur
+    direction and the LSQ dual update — and because every op in the program
+    is sharding-transparent, running it on mesh-sharded inputs executes the
+    whole distributed iteration (secant update, psum'd Gram matrices,
+    replicated Schur solve, line search) as ONE collective XLA program.
 
     The compiled step is cached on the formulation (keyed on the
     option-constant tuple) so repeated solves reuse the XLA executable —
     a recompile costs minutes through this environment's compile relay."""
-    key = tuple(sorted(consts.items()))
+    key = (mode, tuple(sorted(consts.items())))
     cached = getattr(nlp, "_fused_step_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
-    step = _build_fused_step_uncached(nlp, consts)
+    step = _build_fused_step_uncached(nlp, consts, mode)
     nlp._fused_step_cache = (key, step)
     return step
 
 
-def _build_fused_step_uncached(nlp, consts):
+def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
     b: Bounds = nlp.bounds
     crhs = nlp.crhs
     kappa_d = consts["kappa_d"]
@@ -129,8 +154,29 @@ def _build_fused_step_uncached(nlp, consts):
         dom = (theta >= filt[:, 0]) & (phi >= filt[:, 1]) & valid
         return jnp.any(dom)
 
-    def step(state: FusedState, mu, tau, filt, filt_len, theta_min):
-        it, f, c, d_eval, grad, Jc, Jd = state
+    is_qn = mode == "qn"
+    if is_qn:
+        from hiop_tpu.optimization import hessian_lowrank as blr
+
+        sigma_strategy = consts.get("sigma_update_strategy", "sty")
+        sigma0 = consts.get("sigma0", 1.0)
+        recalc_lsq_tol = consts.get("recalc_lsq_duals_tol", 1e-6)
+
+    def step(state, mu, tau, filt, filt_len, theta_min):
+        if is_qn:
+            (it, f, c, d_eval, grad, Jc, Jd, bfgs,
+             x_prev, grad_prev, Jc_prev, Jd_prev, have_prev) = state
+            # secant update at iteration start (hiopHessianLowRank::update)
+            s_new = it.x - x_prev
+            y_new = grad - grad_prev
+            if m:
+                y_new = y_new + (Jc - Jc_prev).T @ it.yc + (Jd - Jd_prev).T @ it.yd
+            bfgs_upd = blr.update(bfgs, s_new, y_new, sigma0, strategy=sigma_strategy)
+            bfgs = jax.tree.map(
+                lambda u, o: jnp.where(have_prev, u, o), bfgs_upd, bfgs
+            )
+        else:
+            it, f, c, d_eval, grad, Jc, Jd = state
 
         # residual + errors at the current point
         jacT_yc = Jc.T @ it.yc if m else jnp.zeros_like(it.x)
@@ -156,7 +202,15 @@ def _build_fused_step_uncached(nlp, consts):
         # dense-block Cholesky (kkt/mds.py) replaces the dense quick path.
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
-        if is_mds:
+        if is_qn:
+            from hiop_tpu.kkt import lowrank as kkt_lowrank
+
+            kdata = kkt_lowrank.LowRankKKTData(bfgs, Dx, Dd, Jc, Jd)
+            dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(
+                kdata, rx_t, rd_t, ryc, ryd
+            )
+            fct_ok = jnp.asarray(True)
+        elif is_mds:
             from hiop_tpu.kkt import mds as kkt_mds
 
             hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
@@ -169,12 +223,14 @@ def _build_fused_step_uncached(nlp, consts):
                 fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
             )
             dx = jnp.concatenate([dxs, dxd])
+            fct_ok = fct.ok
         else:
             from hiop_tpu.kkt import newton_dense as kkt_nd
 
             H = hess(it.x, it.yc, it.yd)
             fct = kkt_nd.factorize_quick(H, Dx, Dd, Jc, Jd, 0.0, 0.0, 0.0, 0.0)
             dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
+            fct_ok = fct.ok
         dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
 
         ap_max, ad = it_mod.fraction_to_the_boundary(it, dir_, tau, b)
@@ -243,9 +299,22 @@ def _build_fused_step_uncached(nlp, consts):
         add1 = (ls_code == 1) & ~(sw_acc & armijo_acc)
         filter_add = accepted & (add1 | (ls_code == 2))
 
-        # ---------------- dual update (linear) + safeguards ----------------
+        # ---------------- dual update + safeguards -------------------------
         it_new = it_mod.take_step_duals(it_t, dir_, alpha_p, ad)
         it_new = it_mod.adjust_duals(it_new, b, mu, kappa_sigma)
+        if is_qn and m:
+            # LSQ recompute of yc/yd from the pre-step derivatives when the
+            # infeasibility is small (hiopDualsLsqUpdate::go ordering)
+            from hiop_tpu.optimization import duals_update as du_mod
+
+            yc_lsq, yd_lsq = du_mod.lsq_duals(
+                Jc, Jd, grad, it_new.zl, it_new.zu, it_new.vl, it_new.vu
+            )
+            use_lsq = theta_t <= recalc_lsq_tol
+            it_new = it_new._replace(
+                yc=jnp.where(use_lsq, yc_lsq, it_new.yc),
+                yd=jnp.where(use_lsq, yd_lsq, it_new.yd),
+            )
         grad_n, Jc_n, Jd_n = derivs(it_new.x)
 
         # keep the old state when the step was not accepted (host falls back)
@@ -254,22 +323,39 @@ def _build_fused_step_uncached(nlp, consts):
                 lambda a, o: jnp.where(accepted, a, o), new, old
             )
 
-        state_new = FusedState(
-            it=pick(it_new, it),
-            f=jnp.where(accepted, f_t, f),
-            c=pick(c_t, c),
-            d=pick(d_t, d_eval),
-            grad=pick(grad_n, grad),
-            Jc=pick(Jc_n, Jc),
-            Jd=pick(Jd_n, Jd),
-        )
+        if is_qn:
+            state_new = FusedQNState(
+                it=pick(it_new, it),
+                f=jnp.where(accepted, f_t, f),
+                c=pick(c_t, c),
+                d=pick(d_t, d_eval),
+                grad=pick(grad_n, grad),
+                Jc=pick(Jc_n, Jc),
+                Jd=pick(Jd_n, Jd),
+                bfgs=bfgs,
+                x_prev=pick(it.x, x_prev),
+                grad_prev=pick(grad, grad_prev),
+                Jc_prev=pick(Jc, Jc_prev),
+                Jd_prev=pick(Jd, Jd_prev),
+                have_prev=have_prev | accepted,
+            )
+        else:
+            state_new = FusedState(
+                it=pick(it_new, it),
+                f=jnp.where(accepted, f_t, f),
+                c=pick(c_t, c),
+                d=pick(d_t, d_eval),
+                grad=pick(grad_n, grad),
+                Jc=pick(Jc_n, Jc),
+                Jd=pick(Jd_n, Jd),
+            )
         scal = FusedScalars(
             f=f, err_nlp=err_nlp, err_log=err_log,
             nlp_optim=norms.nlp_optim, nlp_feasib=norms.nlp_feasib,
             theta=theta_curr, phi=phi_curr,
             alpha_primal=alpha_p, alpha_dual=ad,
             ls_count=ls_count, ls_status=jnp.where(accepted, ls_code, 0),
-            fact_ok=fct.ok, filter_add=filter_add,
+            fact_ok=fct_ok, filter_add=filter_add,
             theta_add=theta_t, phi_add=phi_t,
         )
         return state_new, scal

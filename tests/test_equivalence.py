@@ -133,3 +133,15 @@ def test_golden_iteration_table():
     with open(golden_path) as f:
         golden = f.read()
     assert buf.getvalue() == golden
+
+
+def test_fused_qn_matches_general_path():
+    import examples.dense_ex1 as dx1
+    from hiop_tpu import FilterIPMQuasiNewton, NlpDenseConstraints, NlpOptions
+
+    o1 = NlpOptions(); o1.update(verbosity_level=0, jit_mode="iteration")
+    r_fused = FilterIPMQuasiNewton(NlpDenseConstraints(dx1.DenseConsEx1(200), o1)).run()
+    o2 = NlpOptions(); o2.update(verbosity_level=0)
+    r_std = FilterIPMQuasiNewton(NlpDenseConstraints(dx1.DenseConsEx1(200), o2)).run()
+    assert r_fused.status.is_success
+    assert _rel(r_fused.obj, r_std.obj) < 1e-9

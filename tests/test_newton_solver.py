@@ -126,3 +126,16 @@ def test_newton_duals_update_forced_linear():
     o = NlpOptions()
     o.update(Hessian="analytical_exact")
     assert o.str_("duals_update_type") == "linear"
+
+
+def test_sparse_ex4_concave_selfcheck():
+    """Tiny concave QP (NlpSparseEx4): negative objective curvature at every
+    iterate exercises the delta_w regularization ladder end to end; converges
+    to the verified global optimum (the reference driver's own table is
+    copy-pasted from Ex1 — see examples/sparse_ex4.py docstring)."""
+    import examples.sparse_ex4 as sx4
+
+    r = sx4.solve()
+    assert r.status.is_success
+    ref, tol = sx4.SELFCHECK[2]
+    assert abs((r.obj - ref) / (1 + abs(ref))) < tol

@@ -125,3 +125,18 @@ def test_callback_mem_space_host():
     nlp = NlpDenseConstraints(prob, o)
     FilterIPMQuasiNewton(nlp).run()
     assert all(t is np.ndarray for t in seen)
+
+
+@needs_multi
+def test_fused_qn_sharded_mesh():
+    """jit_mode=iteration + n-axis sharding: the entire distributed QN
+    iteration (secant update with psum'd Gram matrices, replicated Schur
+    solve, fraction-to-the-boundary pmin, line search) executes as ONE
+    partitioned XLA program per iteration."""
+    o = NlpOptions()
+    o.update(verbosity_level=0, jit_mode="iteration")
+    nlp = NlpDenseConstraints(ex1.DenseConsEx1(512), o)
+    shard_formulation(nlp, make_mesh(8))
+    r = FilterIPMQuasiNewton(nlp).run()
+    assert r.status.is_success
+    assert abs(r.obj - 8.6157e-02) < 1e-5
