@@ -113,13 +113,14 @@ class SparseEx4(SparseProblem):
 def solve(scal: float = 1.0, **opts):
     o = NlpOptions()
     # reference driver options (NlpSparseEx4Driver.cpp:206-215)
-    o.update(
+    defaults = dict(
         Hessian="analytical_exact",
         duals_update_type="linear",
         KKTLinsys="xdycyd",
         mu0=0.1,
-        **opts,
     )
+    defaults.update(opts)
+    o.update(**defaults)
     nlp = NlpSparse(SparseEx4(scal), o)
     return FilterIPMNewton(nlp).run()
 

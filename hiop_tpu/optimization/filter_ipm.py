@@ -142,11 +142,14 @@ class _NewtonDenseStrategy:
         # equalities), 'normaleqn' a diagonal Hessian; both force the
         # inertia-free acceptor since their Cholesky has no inertia info.
         self.kkt_kind = o.str_("KKTLinsys")
-        if self.kkt_kind in ("auto", "xycyd", "full"):
+        if self.kkt_kind in ("auto", "xycyd"):
             self.kkt_kind = "xdycyd"
         if self.kkt_kind == "condensed" and nlp.m_eq > 0:
             raise ValueError("condensed KKT requires an inequality-only NLP")
-        if self.kkt_kind in ("condensed", "normaleqn"):
+        # condensed/normaleqn Cholesky and the nonsymmetric LU of the full
+        # unreduced system carry no inertia information -> curvature acceptor
+        # (same constraint as the reference's PARDISO-nonsym full branch)
+        if self.kkt_kind in ("condensed", "normaleqn", "full"):
             self.inertia_free = True
         self.ir_maxit = o.integer("ir_outer_maxit")
         self.ir_tol_factor = o.num("ir_outer_tol_factor")
@@ -174,6 +177,7 @@ class _NewtonDenseStrategy:
             self._H = self.nlp.eval_hess(it.x, 1.0, it.yc, it.yd)
             self._Dx, self._Dd = res_mod.barrier_diagonals(it, b)
             self._Jc, self._Jd = Jc, Jd
+        self._itb = (it, b)
         self.perturb.set_mu(float(mu))
         self.perturb.compute_initial_deltas()
         self._mu = float(mu)
@@ -202,6 +206,12 @@ class _NewtonDenseStrategy:
         else:
             H, Dx, Dd, Jc, Jd = self._H, self._Dx, self._Dd, self._Jc, self._Jd
         with self.stats.kkt.tm_update_fact:
+            if self.kkt_kind == "full":
+                it_k, b_k = self._itb
+                return kkt_full.factorize_full(
+                    self._H, self._Jc, self._Jd, it_k, b_k,
+                    (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd),
+                )
             if self.kkt_kind == "condensed":
                 return kkt_cond.factorize(
                     H, Dx, Dd, Jd, p.delta_wx, p.delta_wd, p.delta_cd
@@ -264,6 +274,9 @@ class _NewtonDenseStrategy:
                     return True, False
                 return False, False
             return True, False
+        if self.kkt_kind == "full":
+            # nonsymmetric LU: failure can only mean (near-)singularity
+            return (True, False) if bool(f.ok) else (False, True)
         if self.kkt_kind in ("condensed", "normaleqn"):
             # single SPD factorization: failure means wrong curvature
             return bool(f.ok), False
@@ -305,7 +318,12 @@ class _NewtonDenseStrategy:
                 continue
             self._factors = f
             with self.stats.kkt.tm_solve_inner:
-                dx, dd, dyc, dyd = self._solve_factors(f, rx_t, rd_t, ryc, ryd)
+                if self.kkt_kind == "full":
+                    dir_full = kkt_full.solve_full(f, resid)
+                    dx, dd = dir_full.x, dir_full.d
+                else:
+                    dir_full = None
+                    dx, dd, dyc, dyd = self._solve_factors(f, rx_t, rd_t, ryc, ryd)
             if self.inertia_free:
                 p = self.perturb
                 good = bool(
@@ -321,7 +339,10 @@ class _NewtonDenseStrategy:
                         raise _StepComputationError("curvature regularization exhausted")
                     continue
             self.perturb.update_fact_ok()
-            dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+            if dir_full is not None:
+                dir_ = dir_full
+            else:
+                dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
             dir_ = self._maybe_refine(resid, it, b, dir_)
             return dir_, True
         raise _StepComputationError("max refactorizations reached")
@@ -363,6 +384,8 @@ class _NewtonDenseStrategy:
         return refined
 
     def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        if self.kkt_kind == "full":
+            return kkt_full.solve_full(self._factors, resid)
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
         dx, dd, dyc, dyd = self._solve_factors(self._factors, rx_t, rd_t, ryc, ryd)
         return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
