@@ -8,6 +8,12 @@ library exporting ``hiop_tpu_get_problem`` (see capi/hiop_tpu_c.h); this
 module loads it with ctypes, wraps the function pointers into a
 :class:`hiop_tpu.SparseProblem`, and solves it with the Newton IPM —
 mirroring hiop_sparse_create_problem / hiop_sparse_solve_problem.
+
+A complete C example lives at tests/data/c_problem_example.c and a
+complete Fortran (iso_c_binding) example at
+examples/fortran/sparse_fex1.f90 — the Fortran path needs no dedicated
+shim layer (the reference's hiopFortranInterface.h role) because the C
+ABI here is already iso_c_binding-clean.
 """
 
 from __future__ import annotations
