@@ -149,18 +149,45 @@ class PriDecSolver:
         self.obj_ = float("nan")
 
     def _eval_recourse(self, x0: np.ndarray):
-        """Batch-evaluate all recourse terms; returns (rval_mean, grad_mean)."""
+        """Evaluate all recourse terms; returns (rval_mean, grad_mean).
+
+        Dispatch (hiopAlgPrimalDecomp run/run_local/run_single):
+        * batched problems -> one vmapped call over the scenario axis
+          (shardable across chips; the preferred TPU path);
+        * accum_local=true or multi-process -> static partition by
+          jax.process_index, local accumulation, cross-process allreduce
+          (run_local, cpp:1269);
+        * otherwise -> dynamic thread-pool dealing with num_local_workers
+          (the master-worker work-stealing loop, cpp:950-995; 1 worker
+          degenerates to the serial run_single loop)."""
+        from hiop_tpu.parallel import scenario_sched as ssched
+
         if getattr(self.prob, "batched", False):
             rvals, grads = self.prob.eval_rterms_batched(np.arange(self.S), x0)
             rvals = np.asarray(rvals, dtype=np.float64)
             grads = np.asarray(grads, dtype=np.float64)
             return float(rvals.sum()) / self.S, grads.sum(axis=0) / self.S
-        rval = 0.0
-        grad = np.zeros(self.nc)
-        for i in range(self.S):
-            rval += float(self.prob.eval_f_rterm(i, x0))
-            grad += np.asarray(self.prob.eval_grad_rterm(i, x0), dtype=np.float64)
-        return rval / self.S, grad / self.S
+
+        def eval_one(i: int):
+            return (
+                float(self.prob.eval_f_rterm(i, x0)),
+                np.asarray(self.prob.eval_grad_rterm(i, x0), dtype=np.float64),
+            )
+
+        rank, nprocs = ssched.process_rank_and_count()
+        if self.opts.str_("accum_local") == "true" or nprocs > 1:
+            local = ssched.partition_scenarios(self.S, nprocs, rank)
+            rsum, gsum = 0.0, np.zeros(self.nc)
+            for i in local:
+                r, g = eval_one(int(i))
+                rsum += r
+                gsum = gsum + g
+            rsum, gsum = ssched.allreduce_across_processes(rsum, gsum)
+            return rsum / self.S, np.asarray(gsum) / self.S
+
+        nw = self.opts.integer("num_local_workers")
+        rsum, gsum, _n = ssched.dynamic_schedule(eval_one, range(self.S), nw)
+        return rsum / self.S, gsum / self.S
 
     def run(self) -> PriDecResult:
         o = self.opts

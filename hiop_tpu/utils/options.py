@@ -88,6 +88,9 @@ _Option = Union[_NumOption, _IntOption, _StrOption]
 class OptionsBase:
     """Registry of typed options with validation and file loading."""
 
+    #: set to None on an instance/class to disable cwd auto-loading
+    DEFAULT_FILENAME: Optional[str] = None
+
     def __init__(self, options_file: Optional[str] = None, logger=None):
         self._opts: Dict[str, _Option] = {}
         self._log = logger
@@ -97,6 +100,11 @@ class OptionsBase:
                 o.value = o.default
             else:
                 o.value = o.default
+        # like the reference (hiopOptions ctor + hiopNlpFormulation), the
+        # per-kind default file ("hiop.options" / "hiop_pridec.options") is
+        # picked up from the working directory when present
+        if options_file is None:
+            options_file = self.DEFAULT_FILENAME
         if options_file is not None and os.path.exists(options_file):
             self.load_from_file(options_file)
         self.ensure_consistence()
@@ -396,6 +404,9 @@ class PriDecOptions(OptionsBase):
         rs("mem_space", "default", ["default", "host", "device", "um"], "memory space")
         rs("accum_local", "false", ["true", "false"],
            "accumulate recourse terms locally then reduce (vs dynamic dispatch)")
+        ri("num_local_workers", 1, 1, 1024,
+           "TPU addition: worker threads for dynamic scenario dealing "
+           "(the reference's MPI worker count comes from the communicator)")
         rn("alpha_max", 1e6, 1.0, 1e14, "max quadratic recourse coefficient")
         rn("alpha_min", 1e-5, 1e-8, 1e3, "min quadratic recourse coefficient")
         rn("tolerance", 1e-5, 1e-14, 1e-1, "predicted-decrease tolerance")

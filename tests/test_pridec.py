@@ -41,3 +41,69 @@ def test_pridec_ex2_nlp_recourse():
     r = solver.run()
     assert r.status.is_success
     assert np.isfinite(r.obj)
+
+
+def test_partition_scenarios_covers_all():
+    from hiop_tpu.parallel.scenario_sched import partition_scenarios
+
+    for S in (1, 7, 8, 100):
+        for P in (1, 3, 8):
+            parts = [partition_scenarios(S, P, r) for r in range(P)]
+            allidx = np.concatenate(parts)
+            assert sorted(allidx.tolist()) == list(range(S))
+            sizes = [p.size for p in parts]
+            assert max(sizes) - min(sizes) <= 1  # balanced
+
+
+def test_dynamic_schedule_matches_serial():
+    from hiop_tpu.parallel.scenario_sched import dynamic_schedule
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=16)
+    grads = rng.normal(size=(16, 5))
+
+    def eval_one(i):
+        return vals[i], grads[i]
+
+    r1, g1, n1 = dynamic_schedule(eval_one, range(16), 1)
+    r4, g4, n4 = dynamic_schedule(eval_one, range(16), 4)
+    assert n1 == n4 == 16
+    np.testing.assert_allclose(r4, vals.sum(), rtol=1e-12)
+    np.testing.assert_allclose(np.sort(g4), np.sort(g1), rtol=1e-12)
+    np.testing.assert_allclose(g4, grads.sum(axis=0), rtol=1e-12)
+
+
+def test_dynamic_schedule_propagates_errors():
+    from hiop_tpu.parallel.scenario_sched import dynamic_schedule
+
+    def eval_one(i):
+        if i == 3:
+            raise RuntimeError("scenario 3 failed")
+        return 1.0, np.ones(2)
+
+    with pytest.raises(RuntimeError, match="scenario 3"):
+        dynamic_schedule(eval_one, range(8), 4)
+
+
+def test_pridec_dynamic_workers_match_serial():
+    """NLP-recourse scenarios (batched=False) through the thread-dealing
+    scheduler vs the serial loop: same converged objective."""
+    import examples.pridec_ex2 as px2
+
+    r1 = px2.solve(8, 3, 2, verbosity_level=0, max_iter=15).run()
+    r2 = px2.solve(8, 3, 2, verbosity_level=0, max_iter=15,
+                   num_local_workers=3).run()
+    assert r1.status.is_success and r2.status.is_success
+    assert abs(r1.obj - r2.obj) <= 1e-8 * (1 + abs(r1.obj))
+
+
+def test_pridec_accum_local_single_process():
+    """accum_local=true in one process: static partition covering all
+    scenarios + no-op allreduce matches the default path exactly."""
+    import examples.pridec_ex2 as px2
+
+    r1 = px2.solve(8, 3, 2, verbosity_level=0, max_iter=15).run()
+    r2 = px2.solve(8, 3, 2, verbosity_level=0, max_iter=15,
+                   accum_local="true").run()
+    assert r2.status.is_success
+    assert abs(r1.obj - r2.obj) <= 1e-12 * (1 + abs(r1.obj))
