@@ -58,6 +58,13 @@ class NlpSparse(NlpFormulation):
         ls = self.options.str_("linear_solver_sparse")
         if ls in ("cg", "bicgstab"):
             return True
+        if ls != "auto":
+            from hiop_tpu.linalg import solver_registry
+
+            # registry-backed sparse direct solvers (splu / user bridges)
+            # consume triplet values; never densify the Jacobian for them
+            if solver_registry.has_solver(ls):
+                return True
         return ls == "auto" and self.n >= 8192
 
     def eval_jac(self, x):

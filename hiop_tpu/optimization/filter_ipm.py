@@ -470,6 +470,112 @@ class _CondensedMatfreeStrategy:
         )
 
 
+class _SparseDirectStrategy:
+    """Host sparse-direct XDYcYd KKT (kkt/sparse_direct.py): O(nnz)
+    triplet assembly + a registry-selected sparse LU (splu/SuperLU plays
+    the reference's MA57 role, hiopKKTLinSysCompressedSparseXDYcYd,
+    hiopKKTLinSysSparse.hpp:133). No inertia from the LU, so acceptance is
+    always the inertia-free curvature test — the reference's pairing for
+    non-inertia backends. Selected by naming a registered backend in the
+    ``linear_solver_sparse`` option."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp, logger, stats):
+        from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
+
+        o = nlp.options
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(o, for_newton=True)
+        self.neg_curv_fact = o.num("neg_curv_test_fact")
+        self.kkt = SparseXDYcYdKKT(nlp, o.str_("linear_solver_sparse"))
+        self._mu = 1.0
+        self._state = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        import numpy as np
+
+        with self.stats.kkt.tm_update_init:
+            nlp = self.nlp
+            if hasattr(Jc, "vals"):
+                je_vals, ji_vals = np.asarray(Jc.vals), np.asarray(Jd.vals)
+            else:
+                # gather the triplet entries back out of the dense Jacobians
+                # (no re-evaluation of user callbacks)
+                je_vals = np.asarray(Jc)[nlp.jac_eq_rows, nlp.jac_eq_cols]
+                ji_vals = np.asarray(Jd)[nlp.jac_in_rows, nlp.jac_in_cols]
+            h_vals = np.asarray(nlp.eval_hess_vals(it.x, 1.0, it.yc, it.yd))
+            Dx, Dd = res_mod.barrier_diagonals(it, b)
+            self._state = (h_vals, np.asarray(Dx), np.asarray(Dd), je_vals, ji_vals)
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
+
+    def _curvature_ok(self, dx, dd) -> bool:
+        """dx'(H + Dx + delta_wx)dx + dd'(Dd + delta_wd)dd >= fact * ||(dx,dd)||^2
+        with H applied through the upper triplets (test_direction,
+        hiopKKTLinSys.cpp)."""
+        import numpy as np
+
+        h_vals, Dx, Dd, _, _ = self._state
+        nlp, p = self.nlp, self.perturb
+        hr, hc = nlp.hess_rows, nlp.hess_cols
+        w = np.where(hr == hc, 1.0, 2.0)
+        xhx = float(np.sum(w * h_vals * dx[hr] * dx[hc]))
+        quad = (
+            xhx
+            + float(np.sum((Dx + p.delta_wx) * dx * dx))
+            + float(np.sum((Dd + p.delta_wd) * dd * dd))
+        )
+        nrm2 = float(dx @ dx + dd @ dd)
+        return quad >= self.neg_curv_fact * nrm2
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds):
+        import numpy as np
+
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        h_vals, Dx, Dd, je_vals, ji_vals = self._state
+        n_corr = 0
+        for _ in range(self.MAX_REFACT):
+            p = self.perturb
+            deltas = (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd)
+            with self.stats.kkt.tm_update_fact:
+                ok = self.kkt.factorize(h_vals, Dx, Dd, je_vals, ji_vals, deltas)
+            if ok:
+                with self.stats.kkt.tm_solve_inner:
+                    out = self.kkt.solve(rx_t, rd_t, ryc, ryd)
+            if not ok or out is None:
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not self.perturb.compute_perturb_singularity():
+                    raise _StepComputationError("sparse-direct regularization exhausted")
+                continue
+            dx, dd, dyc, dyd = out
+            if not self._curvature_ok(dx, dd):
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not self.perturb.compute_perturb_wrong_inertia():
+                    raise _StepComputationError("curvature regularization exhausted")
+                continue
+            self.perturb.update_fact_ok()
+            dir_ = res_mod.recover_direction(
+                resid, it, b,
+                jnp.asarray(dx), jnp.asarray(dd), jnp.asarray(dyc), jnp.asarray(dyd),
+            )
+            return dir_, True
+        raise _StepComputationError("max refactorizations reached")
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        dx, dd, dyc, dyd = self.kkt.solve(rx_t, rd_t, ryc, ryd)
+        return res_mod.recover_direction(
+            resid, it, b,
+            jnp.asarray(dx), jnp.asarray(dd), jnp.asarray(dyc), jnp.asarray(dyd),
+        )
+
+
 class _MdsStrategy:
     """Mixed dense-sparse KKT (hiopKKTLinSysCompressedMDSXYcYd): diagonal
     sparse Hessian block eliminated, dense block Cholesky, Schur Cholesky
@@ -1366,6 +1472,7 @@ class FilterIPMBase:
             and getattr(self.nlp.problem, "jittable", False)
             and o.str_("warm_start") == "no"
             and (self._fused_mode == "qn" or o.str_("KKTLinsys") in ("auto", "xdycyd"))
+            and not getattr(self.nlp, "matrix_free", False)
         ):
             try:
                 return self._run_fused()
@@ -1559,6 +1666,14 @@ class FilterIPMNewton(FilterIPMBase):
             and self.nlp.matrix_free
         ):
             return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
+        if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") in (
+            "auto", "xdycyd",
+        ):
+            from hiop_tpu.linalg import solver_registry
+
+            ls = self.opts.str_("linear_solver_sparse")
+            if ls != "auto" and solver_registry.has_solver(ls):
+                return _SparseDirectStrategy(self.nlp, self.log, self.nlp.runstats)
         return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
 
 

@@ -291,7 +291,7 @@ class NlpOptions(OptionsBase):
         rs(
             "linear_solver_sparse",
             "auto",
-            ["auto", "cholesky", "lu", "qr", "cg", "bicgstab"],
+            None,  # open set: builtins + any solver_registry bridge name
             "inner linear solver for (densified) sparse KKT systems "
             "(TPU-native set; the reference's ma57/pardiso/... map to these)",
         )

@@ -150,3 +150,64 @@ def test_full_kkt_concave_fast():
     ref, tol = sx4.SELFCHECK[2]
     assert _rel(r.obj, ref) <= tol
     assert r.iterations < 60
+
+
+def test_sparse_direct_splu_matches_auto():
+    """linear_solver_sparse=splu: host sparse-direct XDYcYd (SuperLU in the
+    MA57 role) reproduces the dense-path trajectory without ever
+    densifying the Hessian or Jacobian."""
+    r1 = sx1.solve(50, verbosity_level=0, linear_solver_sparse="splu")
+    r0 = sx1.solve(50, verbosity_level=0)
+    assert r1.status.is_success
+    assert r1.iterations == r0.iterations
+    assert _rel(r1.obj, r0.obj) <= 1e-9
+
+
+def test_sparse_direct_splu_rank_deficient():
+    import examples.sparse_ex2 as sx2
+
+    r = sx2.solve(50, verbosity_level=0, linear_solver_sparse="splu")
+    assert r.status.is_success
+    ref, tol = sx2.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_sparse_direct_splu_moderate_n():
+    r = sx1.solve(2000, verbosity_level=0, linear_solver_sparse="splu")
+    assert r.status.is_success
+    assert _rel(r.obj, 1.1035e-01) <= 1e-3
+
+
+def test_solver_registry_unknown_name():
+    from hiop_tpu.linalg import solver_registry
+
+    with pytest.raises(KeyError, match="no sparse direct solver"):
+        solver_registry.get_solver_factory("ma57")
+
+
+def test_solver_registry_custom_bridge():
+    """A user-registered backend (the Ginkgo/MA57 bridge mechanism) is
+    selected by name through the linear_solver_sparse option."""
+    from hiop_tpu.linalg import solver_registry
+
+    calls = {"n": 0}
+
+    def dense_lu_factory(A_csc):
+        import numpy as np
+
+        calls["n"] += 1
+        lu = np.linalg.inv(A_csc.toarray())
+
+        class S:
+            def solve(self, rhs):
+                return lu @ rhs
+
+        return S()
+
+    solver_registry.register_solver("test-dense-bridge", dense_lu_factory)
+    try:
+        r = sx1.solve(20, verbosity_level=0, linear_solver_sparse="test-dense-bridge")
+        assert r.status.is_success
+        assert calls["n"] > 0
+    finally:
+        solver_registry._REGISTRY.pop("test-dense-bridge", None)
