@@ -59,6 +59,62 @@ typedef struct hiop_tpu_sparse_problem {
                    double* values);
 } hiop_tpu_sparse_problem;
 
+/* Dense-constrained NLP (parity with hiop_dense_create_problem,
+ * hiopInterface.h:150 and chiopInterface.cpp): few constraints with a
+ * dense row-major Jacobian, solved with the quasi-Newton IPM. The shared
+ * library exports
+ *
+ *     const hiop_tpu_dense_problem* hiop_tpu_get_dense_problem(void);
+ */
+typedef struct hiop_tpu_dense_problem {
+  int64_t n; /* number of variables */
+  int64_t m; /* number of constraints */
+
+  int (*get_vars_info)(int64_t n, double* xlow, double* xupp);
+  int (*get_cons_info)(int64_t m, double* clow, double* cupp);
+  int (*get_starting_point)(int64_t n, double* x0);
+  int (*eval_f)(int64_t n, const double* x, double* obj);
+  int (*eval_grad_f)(int64_t n, const double* x, double* grad);
+  int (*eval_cons)(int64_t n, int64_t m, const double* x, double* cons);
+  /* dense row-major (m x n) Jacobian of all constraints */
+  int (*eval_jac_cons)(int64_t n, int64_t m, const double* x, double* jac);
+} hiop_tpu_dense_problem;
+
+/* Mixed dense-sparse NLP (parity with hiop_mds_create_problem,
+ * hiopInterface.h:63 and chiopInterface.cpp:161): variables ordered
+ * [x_sparse, x_dense]; the Jacobian has a static sparse triplet block over
+ * the sparse variables plus a dense row-major (m x n_dense) block; the
+ * Hessian is block-diagonal with a *diagonal* sparse block (length
+ * n_sparse) and a dense (n_dense x n_dense) block. The shared library
+ * exports
+ *
+ *     const hiop_tpu_mds_problem* hiop_tpu_get_mds_problem(void);
+ */
+typedef struct hiop_tpu_mds_problem {
+  int64_t n_sparse;
+  int64_t n_dense;
+  int64_t m;
+  int64_t nnz_jac_sparse; /* sparse-block Jacobian nonzeros (static) */
+
+  int (*get_vars_info)(int64_t n, double* xlow, double* xupp);
+  int (*get_cons_info)(int64_t m, double* clow, double* cupp);
+  int (*get_starting_point)(int64_t n, double* x0);
+  int (*eval_f)(int64_t n, const double* x, double* obj);
+  int (*eval_grad_f)(int64_t n, const double* x, double* grad);
+  int (*eval_cons)(int64_t n, int64_t m, const double* x, double* cons);
+  /* static sparse-block structure: fill i/j (length nnz_jac_sparse),
+   * column indices in [0, n_sparse) */
+  int (*get_jac_sparse_structure)(int64_t nnz, int64_t* iJac, int64_t* jJac);
+  /* values aligned with the structure + the dense block, row-major
+   * (m x n_dense) */
+  int (*eval_jac_blocks)(int64_t n, const double* x, int64_t nnz,
+                         double* sparse_values, double* dense_block);
+  /* hss_diag: length n_sparse; hdd: row-major (n_dense x n_dense) */
+  int (*eval_hess_blocks)(int64_t n, const double* x, double obj_factor,
+                          int64_t m, const double* lambda, double* hss_diag,
+                          double* hdd);
+} hiop_tpu_mds_problem;
+
 #ifdef __cplusplus
 }
 #endif

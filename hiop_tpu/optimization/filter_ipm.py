@@ -1466,15 +1466,19 @@ class FilterIPMBase:
 
     def run(self) -> SolverResult:
         o = self.opts
-        if (
+        jit_mode = o.str_("jit_mode")
+        fusable = (
             self._fused_mode is not None
-            and o.str_("jit_mode") == "iteration"
+            and jit_mode in ("iteration", "solve")
             and getattr(self.nlp.problem, "jittable", False)
             and o.str_("warm_start") == "no"
             and (self._fused_mode == "qn" or o.str_("KKTLinsys") in ("auto", "xdycyd"))
             and not getattr(self.nlp, "matrix_free", False)
-        ):
+        )
+        if fusable:
             try:
+                if jit_mode == "solve" and not self._iterate_callback_overridden():
+                    return self._run_fused_solve()
                 return self._run_fused()
             except _FusedFallback as e:
                 self.log.printf(
@@ -1489,19 +1493,24 @@ class FilterIPMBase:
                 self.iter_num = 0
         return self._run_general()
 
-    def _run_fused(self) -> SolverResult:
-        """One jitted XLA computation per IPM iteration (fused_newton.py);
-        O(1) host decisions between steps with a single scalar sync."""
+    def _iterate_callback_overridden(self) -> bool:
+        """jit_mode=solve runs the whole solve in one XLA program, so a
+        per-iteration user callback cannot be honored; detect overrides and
+        route those problems through the per-iteration fused path."""
+        from hiop_tpu.interface.base import NlpProblem
+
+        cb = getattr(type(self.nlp.problem), "iterate_callback", None)
+        return cb is not None and cb is not NlpProblem.iterate_callback
+
+    def _fused_init(self):
+        """Shared starting procedure for the fused paths: scaling setup,
+        primal/slack initialization, LSQ duals, theta_min/max, the
+        option-constant bundle, and the initial fused carry state."""
         from hiop_tpu.optimization import fused_newton as fn
 
         nlp = self.nlp
         b: Bounds = nlp.bounds
         o = self.opts
-        stats = nlp.runstats
-        stats.tm_optimize_total.restart()
-        mu = self.mu0
-        tau = max(self.tau_min, 1.0 - mu)
-
         # minimal starting procedure (no warm start in fused mode)
         x_user = nlp.get_starting_point()
         nlp.maybe_setup_scaling(x_user)
@@ -1544,7 +1553,6 @@ class FilterIPMBase:
                 sigma0=o.num("sigma0"),
                 recalc_lsq_duals_tol=o.num("recalc_lsq_duals_tol"),
             )
-            step = fn.build_fused_step(nlp, consts, mode="qn")
             bfgs0 = blr.init_state(n, o.integer("secant_memory_len"), o.num("sigma0"))
             state = fn.FusedQNState(
                 it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
@@ -1553,9 +1561,102 @@ class FilterIPMBase:
                 have_prev=jnp.asarray(False),
             )
         else:
-            step = fn.build_fused_step(nlp, consts)
             state = fn.FusedState(it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
                                   grad=grad_f, Jc=Jc, Jd=Jd)
+        return state, consts
+
+    def _run_fused_solve(self) -> SolverResult:
+        """``jit_mode=solve``: the whole IPM solve (outer mu loop, on-device
+        filter, termination ladder) as ONE XLA program — a single dispatch
+        and a single host sync per solve (fused_newton.build_fused_solve).
+        Per-iteration summary lines are reconstructed from the returned
+        history buffer, so the iteration table remains diffable against the
+        other jit modes."""
+        from hiop_tpu.optimization import fused_newton as fn
+
+        nlp = self.nlp
+        stats = nlp.runstats
+        stats.tm_optimize_total.restart()
+        mu = self.mu0
+        tau = max(self.tau_min, 1.0 - mu)
+        state, consts = self._fused_init()
+        term = dict(
+            eps_tol=self.eps_tol, rel_tol=self.rel_tol,
+            accep_tol=self.accep_tol, accep_iters=self.accep_iters,
+            max_iter=self.max_iter, kappa_eps=self.kappa_eps,
+            kappa_mu=self.kappa_mu, theta_mu=self.theta_mu,
+            tau_min=self.tau_min,
+            comp_tol_scaled=self.comp_tol / self.nlp.scale_obj,
+        )
+        solve = fn.build_fused_solve(nlp, consts, term, mode=self._fused_mode)
+        state, mu_dev, it_num, st, err_nlp, hist = solve(
+            state, mu, tau, self.theta_min, self.theta_max
+        )
+        st = int(jax.device_get(st))
+        it_num = int(it_num)
+        hist = np.asarray(hist)
+        mu = float(mu_dev)
+        err_nlp = float(err_nlp)
+
+        # replay the iteration table from the history buffer
+        for i in range(min(it_num + 1, hist.shape[0])):
+            self.iter_num = i
+            f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i, _err_i = hist[i]
+            self._output_iteration(
+                f_i, feas_i, opt_i, mu_i, adu_i, apr_i,
+                int(lsn_i), int(lss_i) if i else -1,
+            )
+        self._err_nlp0 = float(hist[0, fn.HIST_COLS - 1])
+        self.iter_num = it_num
+        stats.n_iters = it_num
+
+        if st == 6:
+            raise _FusedFallback("factorization needs regularization")
+        if st == 7:
+            raise _FusedFallback("line search rejected (SOC/FR needed)")
+        self.solver_status = {
+            1: SolveStatus.Solve_Success,
+            2: SolveStatus.Solve_Success_RelTol,
+            3: SolveStatus.Solve_Acceptable_Level,
+            4: SolveStatus.Max_Iter_Exceeded,
+            5: SolveStatus.Iterates_Diverging,
+        }.get(st, SolveStatus.Unknown)
+
+        obj = nlp.unscaled_obj(float(state.f))
+        stats.tm_optimize_total.stop()
+        nlp.user_callback_solution(
+            self.solver_status, state.it.x, state.it.zl, state.it.zu,
+            jnp.concatenate([state.c, state.d]) if nlp.m else state.c,
+            (state.it.yc, state.it.yd), obj,
+        )
+        self.log.printf(
+            Verbosity.SUMMARY,
+            "Solver status: %s, objective %.12e, iterations %d (fused solve)",
+            self.solver_status.name, obj, self.iter_num,
+        )
+        return SolverResult(
+            status=self.solver_status, x=np.asarray(state.it.x), obj=obj,
+            iterations=self.iter_num, err_nlp=err_nlp, mu=mu,
+        )
+
+    def _run_fused(self) -> SolverResult:
+        """One jitted XLA computation per IPM iteration (fused_newton.py);
+        O(1) per-iteration host decisions with a single scalar sync."""
+        from hiop_tpu.optimization import fused_newton as fn
+
+        nlp = self.nlp
+        b: Bounds = nlp.bounds
+        o = self.opts
+        stats = nlp.runstats
+        stats.tm_optimize_total.restart()
+        mu = self.mu0
+        tau = max(self.tau_min, 1.0 - mu)
+
+        state, consts = self._fused_init()
+        if self._fused_mode == "qn":
+            step = fn.build_fused_step(nlp, consts, mode="qn")
+        else:
+            step = fn.build_fused_step(nlp, consts)
 
         filt = np.full((fn.FILTER_CAP, 2), np.inf)
         filt[0] = (self.theta_max, -np.inf)

@@ -38,6 +38,11 @@ from hiop_tpu.optimization.iterate import Bounds, Iterate
 FILTER_CAP = 128
 MAX_LS = 30
 
+#: columns of the per-iteration history buffer returned by the fused solve
+#: (jit_mode=solve): f, nlp_feasib, nlp_optim, mu, alpha_du, alpha_pr,
+#: ls_count, ls_status, err_nlp
+HIST_COLS = 9
+
 
 class FusedScalars(NamedTuple):
     """Per-iteration scalar bundle returned to the host (one sync)."""
@@ -108,6 +113,154 @@ def build_fused_step(nlp, consts, mode: str = "newton"):
     step = _build_fused_step_uncached(nlp, consts, mode)
     nlp._fused_step_cache = (key, step)
     return step
+
+
+def build_fused_solve(nlp, consts, term, mode: str = "newton"):
+    """The ``jit_mode=solve`` path: the ENTIRE IPM solve as ONE XLA program.
+
+    Wraps the fused per-iteration step in a ``lax.while_loop`` that also
+    carries the outer-loop state the host manages in ``jit_mode=iteration``
+    — the mu/tau schedule (update_log_barrier_params), the filter buffer
+    with reset-on-mu-change and trial-point augmentation, the acceptable-
+    tolerance counter, and every termination test of
+    ``FilterIPMBase._check_termination``. One dispatch and one host sync
+    per *solve* instead of per iteration: on this environment's
+    remote-relay TPU that removes the dominant per-iteration overhead, and
+    it is the idiomatic XLA formulation of the reference's C++ run loop
+    (hiopAlgFilterIPM.cpp:2101+).
+
+    ``term`` carries the termination/schedule scalars:
+    eps_tol, rel_tol, accep_tol, accep_iters, max_iter, kappa_eps,
+    kappa_mu, theta_mu, tau_min, comp_tol_scaled, diverg_tol.
+
+    Returns ``solve(state0, mu0, tau0, theta_min, theta_max)`` ->
+    ``(state, mu, iter_num, status_code, err_nlp, hist)`` where
+    ``status_code`` is 1 Solve_Success, 2 Solve_Success_RelTol,
+    3 Solve_Acceptable_Level, 4 Max_Iter_Exceeded, 5 Iterates_Diverging,
+    6/7 needs-host (failed factorization / rejected line search — the
+    caller falls back to the general loop), and ``hist`` is an
+    (max_iter+1, HIST_COLS) per-iteration table for logging (rows past
+    ``iter_num`` are undefined).
+    """
+    key = (mode, tuple(sorted(consts.items())), tuple(sorted(term.items())))
+    cached = getattr(nlp, "_fused_solve_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+
+    raw_step = _build_fused_step_uncached(nlp, consts, mode)
+    max_iter = int(term["max_iter"])
+    eps_tol = term["eps_tol"]
+    rel_tol = term["rel_tol"]
+    accep_tol = term["accep_tol"]
+    accep_iters = int(term["accep_iters"])
+    kappa_eps = term["kappa_eps"]
+    kappa_mu = term["kappa_mu"]
+    theta_mu = term["theta_mu"]
+    tau_min = term["tau_min"]
+    comp_tol_scaled = term["comp_tol_scaled"]
+    diverg_tol = term.get("diverg_tol", 1e20)
+    n_hist = max_iter + 1
+
+    def solve(state0, mu0, tau0, theta_min, theta_max):
+        dtype = state0.it.x.dtype
+        filt0 = jnp.full((FILTER_CAP, 2), jnp.inf, dtype)
+        filt0 = filt0.at[0, 1].set(-jnp.inf)
+        filt0 = filt0.at[0, 0].set(jnp.asarray(theta_max, dtype))
+        hist0 = jnp.zeros((n_hist, HIST_COLS), dtype)
+
+        def cond(carry):
+            return carry[-1] == 0
+
+        def body(carry):
+            state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, _st = carry
+            new_state, s = raw_step(state, mu, tau, filt, filt_len, theta_min)
+            row = jnp.stack(
+                [
+                    s.f.astype(dtype),
+                    s.nlp_feasib.astype(dtype),
+                    s.nlp_optim.astype(dtype),
+                    mu.astype(dtype),
+                    s.alpha_dual.astype(dtype),
+                    s.alpha_primal.astype(dtype),
+                    s.ls_count.astype(dtype),
+                    s.ls_status.astype(dtype),
+                    s.err_nlp.astype(dtype),
+                ]
+            )
+            zero = jnp.asarray(0, jnp.int32)
+            hist = jax.lax.dynamic_update_slice(
+                hist, row[None, :], (jnp.minimum(it_num, n_hist - 1), zero)
+            )
+            err0 = jnp.where(it_num == 0, s.err_nlp, err0)
+
+            # termination ladder (FilterIPMBase._check_termination order)
+            acc = s.err_nlp <= accep_tol
+            n_accep = jnp.where(acc, n_accep + 1, 0)
+            st = jnp.asarray(0, jnp.int32)
+
+            def claim(st, cond_, code):
+                return jnp.where((st == 0) & cond_, jnp.asarray(code, jnp.int32), st)
+
+            st = claim(st, s.err_nlp <= eps_tol, 1)
+            if rel_tol > 0:
+                st = claim(st, s.err_nlp <= rel_tol * err0, 2)
+            st = claim(st, acc & (n_accep >= accep_iters), 3)
+            st = claim(st, it_num >= max_iter, 4)
+            st = claim(st, s.nlp_feasib > diverg_tol, 5)
+            # needs-host exits (host falls back to the general loop)
+            st = claim(st, ~s.fact_ok, 6)
+            st = claim(st, s.ls_status == 0, 7)
+            running = st == 0
+
+            # mu/tau schedule + filter reset (update_log_barrier_params)
+            new_mu = jnp.maximum(0.0, jnp.minimum(kappa_mu * mu, mu**theta_mu))
+            new_mu = jnp.maximum(new_mu, min(eps_tol, comp_tol_scaled) / 11.0)
+            mu_changed = (s.err_log <= kappa_eps * mu) & (
+                jnp.abs(new_mu - mu) >= 1e-16
+            )
+            do_mu = running & mu_changed
+            mu = jnp.where(do_mu, new_mu, mu)
+            tau = jnp.where(do_mu, jnp.maximum(tau_min, 1.0 - new_mu), tau)
+            filt_len = jnp.where(do_mu, 1, filt_len)
+
+            # filter augmentation with the trial point
+            do_add = running & s.filter_add & (filt_len < FILTER_CAP)
+            add_row = jnp.stack([s.theta_add, s.phi_add]).astype(dtype)
+            filt_upd = jax.lax.dynamic_update_slice(
+                filt, add_row[None, :], (jnp.minimum(filt_len, FILTER_CAP - 1), zero)
+            )
+            filt = jnp.where(do_add, filt_upd, filt)
+            filt_len = jnp.where(do_add, filt_len + 1, filt_len)
+
+            # advance only while running (on exit the result is the
+            # pre-step state, matching the host loop's break-before-assign)
+            state = jax.tree.map(
+                lambda new, old: jnp.where(running, new, old), new_state, state
+            )
+            it_num = jnp.where(running, it_num + 1, it_num)
+            return (state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, st)
+
+        carry0 = (
+            state0,
+            jnp.asarray(mu0, dtype),
+            jnp.asarray(tau0, dtype),
+            filt0,
+            jnp.asarray(1, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32),
+            hist0,
+            jnp.asarray(0, jnp.int32),
+        )
+        state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = (
+            jax.lax.while_loop(cond, body, carry0)
+        )
+        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_COLS - 1]
+        return state, mu, it_num, st, err_nlp, hist
+
+    solve = jax.jit(solve, static_argnums=())
+    nlp._fused_solve_cache = (key, solve)
+    return solve
 
 
 def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):

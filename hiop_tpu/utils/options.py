@@ -366,8 +366,10 @@ class NlpOptions(OptionsBase):
            "finiteness, and slack/dual pattern invariants each iteration "
            "(the reference's compile-time HIOP_DEEPCHECKS as a runtime switch; "
            "~30-40% overhead there, similar here)")
-        rs("jit_mode", "kernels", ["kernels", "iteration", "off"],
-           "jit granularity: individual kernels, whole fused iteration, or eager")
+        rs("jit_mode", "kernels", ["kernels", "iteration", "solve", "off"],
+           "jit granularity: individual kernels, whole fused iteration, the "
+           "entire solve as one XLA program (outer loop in lax.while_loop; "
+           "one dispatch per solve), or eager")
         ri("num_shards", 0, 0, 65536, "n-axis shards; 0 = infer from ambient mesh")
 
     def ensure_consistence(self) -> None:

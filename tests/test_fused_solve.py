@@ -1,0 +1,75 @@
+"""jit_mode=solve: the whole-solve-in-one-XLA-program path must reproduce
+the per-iteration fused path (jit_mode=iteration) exactly — same status,
+same iteration count, same objective — the same equivalence contract the
+reference enforces between its CPU and GPU runs with iteration-table diffs
+(src/Drivers/MDS/CMakeLists.txt:54-74)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiop_tpu import (
+    AutoDiffNlpProblem,
+    FilterIPMNewton,
+    FilterIPMQuasiNewton,
+    NlpDenseConstraints,
+    NlpOptions,
+)
+
+
+def _problem():
+    return AutoDiffNlpProblem(
+        f=lambda x: jnp.sum((x - 1.0) ** 2) + 0.1 * jnp.sum(x**4),
+        c=lambda x: jnp.stack([jnp.sum(x), x[0] * x[1]]),
+        xl=np.full(6, -2.0),
+        xu=np.full(6, 5.0),
+        cl=np.array([2.0, -1.0]),
+        cu=np.array([2.0, 1.0]),
+        x0=np.full(6, 0.5),
+    )
+
+
+def _solve(cls, hessian, jit_mode, **extra):
+    opts = NlpOptions()
+    opts.update(jit_mode=jit_mode, Hessian=hessian, verbosity_level=0, **extra)
+    return cls(NlpDenseConstraints(_problem(), opts)).run()
+
+
+@pytest.mark.parametrize(
+    "cls,hessian",
+    [
+        (FilterIPMNewton, "analytical_exact"),
+        (FilterIPMQuasiNewton, "quasinewton_approx"),
+    ],
+)
+def test_solve_mode_matches_iteration_mode(cls, hessian):
+    r_it = _solve(cls, hessian, "iteration")
+    r_sv = _solve(cls, hessian, "solve")
+    assert r_sv.status == r_it.status
+    assert r_sv.iterations == r_it.iterations
+    assert abs(r_sv.obj - r_it.obj) < 1e-10
+
+
+def test_solve_mode_max_iter():
+    r = _solve(FilterIPMNewton, "analytical_exact", "solve", max_iter=3)
+    assert r.iterations == 3
+
+
+def test_solve_mode_callback_override_falls_back():
+    """A user iterate_callback cannot run inside one XLA program; the solver
+    must route such problems through the per-iteration path and still honor
+    an early stop."""
+    p = _problem()
+    calls = []
+
+    class Stopper(type(p)):
+        def iterate_callback(self, info):
+            calls.append(info.iter)
+            return info.iter < 2
+
+    p.__class__ = Stopper
+    opts = NlpOptions()
+    opts.update(jit_mode="solve", Hessian="analytical_exact", verbosity_level=0)
+    r = FilterIPMNewton(NlpDenseConstraints(p, opts)).run()
+    assert calls, "iterate_callback was never invoked"
+    assert r.status.name == "User_Stopped"
