@@ -81,6 +81,34 @@ def test_kron_reduction_matches_dense_schur():
     assert np.allclose(i_aux, 0.0, atol=1e-10)
 
 
+def test_kron_reduction_sparse_matches_dense():
+    """The sparse complex path (hiopMatrixComplexSparseTriplet + UMFPACKZ
+    parity) must produce the same reduction as the dense path."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(1)
+    n = 30
+    # sparse-ish complex admittance: tridiagonal + a few off-band couplings
+    Y = np.zeros((n, n), np.complex128)
+    for i in range(n):
+        Y[i, i] = 4.0 + 1j * 0.5
+        if i + 1 < n:
+            Y[i, i + 1] = Y[i + 1, i] = -1.0 + 0.2j
+    Y[0, n - 1] = Y[n - 1, 0] = -0.5 + 0.1j
+    aux = [3, 8, 15, 22]
+    kr_dense = KronReduction(Y, aux)
+    kr_sparse = KronReduction(sp.csr_matrix(Y), aux)
+    assert np.allclose(
+        np.asarray(kr_dense.reduce()), np.asarray(kr_sparse.reduce()), atol=1e-12
+    )
+    v = rng.standard_normal(n - len(aux)) + 1j * rng.standard_normal(n - len(aux))
+    assert np.allclose(
+        np.asarray(kr_dense.apply_nonaux_to_aux(v)),
+        np.asarray(kr_sparse.apply_nonaux_to_aux(v)),
+        atol=1e-12,
+    )
+
+
 def test_version():
     import hiop_tpu
 
