@@ -129,10 +129,72 @@ class PriDecEx2(PriDecProblem):
         return np.asarray(x) - y_star
 
 
-def solve(nx: int = 20, nS: int = 5, S: int = 5, **opts):
+class PriDecEx2Batched(PriDecEx2):
+    """Ex2 with the recourse NLP solves BATCHED: all S scenario interior-
+    point solves advance in lockstep as ONE vmapped ``jit_mode=solve`` XLA
+    program (hiop_tpu.optimization.batch_solve) — the TPU answer to the
+    reference's one-CPU-solve-per-MPI-worker contingency pattern
+    (hiopAlgPrimalDecomp.cpp:1017+). Supports per-scenario samples ``xis``
+    of shape (S, nS) (the reference fixes xi = 1 for every scenario)."""
+
+    batched = True
+
+    def __init__(self, nx: int = 20, nS: int = 5, S: int = 5, xis=None):
+        super().__init__(nx, nS, S)
+        self.xis = (
+            np.tile(self.xi, (S, 1)) if xis is None else np.asarray(xis, np.float64)
+        )
+        assert self.xis.shape == (S, nS)
+        from hiop_tpu.optimization.batch_solve import ParametricDenseNlp
+
+        ny = self.ny
+
+        def f(y, th):
+            x, _xi = th
+            return 0.5 * jnp.sum((y - x) ** 2)
+
+        def c(y, th):
+            _x, xi = th
+            t1 = (1.0 - y[0] + xi[0]) ** 2
+            t2 = jnp.sum((y[1:nS] + xi[1:]) ** 2)
+            t3 = jnp.sum(y[nS:] ** 2)
+            ball = (t1 + t2 + t3)[None]
+            return jnp.concatenate([ball, y[1:] - y[:-1]])
+
+        xl = np.full(ny, -INF)
+        xl[0] = 0.0
+        cl = np.concatenate([[1.0], np.zeros(ny - 1)])
+        o = NlpOptions()
+        o.update(Hessian="analytical_exact", verbosity_level=0, tolerance=1e-10)
+        self._pnlp = ParametricDenseNlp(
+            f, c,
+            xl=xl, xu=np.full(ny, INF), cl=cl, cu=np.full(ny, INF),
+            x0=np.zeros(ny),
+            th0=(np.zeros(self.nx), self.xis[0]),
+            options=o,
+            x0_of_th=lambda th: jnp.maximum(th[0], 0.0),
+        )
+
+    def eval_rterms_batched(self, idxs, x):
+        from hiop_tpu.optimization.batch_solve import solve_batched
+
+        idxs = np.asarray(idxs)
+        k = idxs.size
+        xj = jnp.asarray(np.asarray(x, np.float64))
+        th = (
+            jnp.broadcast_to(xj, (k, self.nx)),
+            jnp.asarray(self.xis)[jnp.asarray(idxs)],
+        )
+        res = solve_batched(self._pnlp, th)
+        grads = xj[None, :] - res.x  # envelope theorem, as eval_grad_rterm
+        return jnp.asarray(res.obj), grads
+
+
+def solve(nx: int = 20, nS: int = 5, S: int = 5, batched: bool = False, **opts):
     o = PriDecOptions()
     o.update(**opts)
-    return PriDecSolver(PriDecEx2(nx, nS, S), o)
+    cls = PriDecEx2Batched if batched else PriDecEx2
+    return PriDecSolver(cls(nx, nS, S), o)
 
 
 def main(argv=None):
@@ -140,7 +202,7 @@ def main(argv=None):
     pos = [a for a in argv if not a.startswith("-")]
     nx = int(pos[0]) if pos else 20
     S = int(pos[1]) if len(pos) > 1 else 5
-    solver = solve(nx, 5, S)
+    solver = solve(nx, 5, S, batched="-batched" in argv)
     r = solver.run()
     print(f"Objective: {r.obj:.12e} status {r.status.name} iters {r.iterations}")
     if "-selfcheck" in argv:

@@ -1474,6 +1474,10 @@ class FilterIPMBase:
             and o.str_("warm_start") == "no"
             and (self._fused_mode == "qn" or o.str_("KKTLinsys") in ("auto", "xdycyd"))
             and not getattr(self.nlp, "matrix_free", False)
+            # per-iteration host-side debug/IO surfaces need the general loop
+            and o.str_("deepchecks") == "no"
+            and o.str_("write_kkt") == "no"
+            and o.str_("time_kkt") == "off"
         )
         if fusable:
             try:

@@ -162,7 +162,8 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
     n_hist = max_iter + 1
 
     def solve(state0, mu0, tau0, theta_min, theta_max):
-        dtype = state0.it.x.dtype
+        core0 = state0[1] if getattr(nlp, "parametric", False) else state0
+        dtype = core0.it.x.dtype
         filt0 = jnp.full((FILTER_CAP, 2), jnp.inf, dtype)
         filt0 = filt0.at[0, 1].set(-jnp.inf)
         filt0 = filt0.at[0, 0].set(jnp.asarray(theta_max, dtype))
@@ -278,12 +279,23 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
     smax = consts["smax"]
     n, m = nlp.n, nlp.m
 
-    def evals(x):
-        f = nlp.eval_f(x)
-        c, d = nlp.eval_cons(x)
+    # parametric problems (ParametricDenseNlp, batch_solve.py) carry a
+    # scenario parameter th through the fused state; every evaluation takes
+    # it, so the whole step (and the whole solve) can be vmapped over th
+    parametric = getattr(nlp, "parametric", False)
+
+    def evals(x, th=None):
+        if parametric:
+            f = nlp.eval_f(x, th)
+            c, d = nlp.eval_cons(x, th)
+        else:
+            f = nlp.eval_f(x)
+            c, d = nlp.eval_cons(x)
         return f, c, d
 
-    def derivs(x):
+    def derivs(x, th=None):
+        if parametric:
+            return nlp.eval_grad_f(x, th), *nlp.eval_jac(x, th)
         return nlp.eval_grad_f(x), *nlp.eval_jac(x)
 
     from hiop_tpu.formulation.mds import NlpMDS
@@ -291,7 +303,9 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
     is_mds = isinstance(nlp, NlpMDS)
     ns = nlp.n_sparse if is_mds else 0
 
-    def hess(x, yc, yd):
+    def hess(x, yc, yd, th=None):
+        if parametric:
+            return nlp.eval_hess(x, 1.0, yc, yd, th)
         return nlp.eval_hess(x, 1.0, yc, yd)
 
     def logbar_phi(it, f, mu):
@@ -316,6 +330,9 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         recalc_lsq_tol = consts.get("recalc_lsq_duals_tol", 1e-6)
 
     def step(state, mu, tau, filt, filt_len, theta_min):
+        th = None
+        if parametric:
+            th, state = state
         if is_qn:
             (it, f, c, d_eval, grad, Jc, Jd, bfgs,
              x_prev, grad_prev, Jc_prev, Jd_prev, have_prev) = state
@@ -349,10 +366,41 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             jnp.maximum(norms.cons_violation, norms.bar_complem / sc),
         )
 
-        # direction: quick Cholesky-Schur (no regularization in-fused; a
-        # failed factorization returns fact_ok=False and the host falls
-        # back). For MDS formulations the sparse-diagonal elimination +
-        # dense-block Cholesky (kkt/mds.py) replaces the dense quick path.
+        # direction: quick Cholesky-Schur with an ON-DEVICE regularization
+        # ladder (the reference's factorizeWithCurvCheck + hiopPDPerturbation
+        # retry loop, hiopKKTLinSys.cpp): a failed Cholesky retries with
+        # delta_w = delta_0_bar escalating by kappa_w_plus_bar and dual
+        # regularization delta_c_bar * mu^kappa_c, inside a lax.while_loop —
+        # no host round trip. Only if the ladder is exhausted does the step
+        # report fact_ok=False and the host fall back. For MDS formulations
+        # the sparse-diagonal elimination + dense-block Cholesky (kkt/mds.py)
+        # replaces the dense quick path.
+        delta0 = consts.get("delta_0_bar", 1e-4)
+        kappa_plus = consts.get("kappa_w_plus_bar", 100.0)
+        delta_c_bar = consts.get("delta_c_bar", 1e-8)
+        kappa_c = consts.get("kappa_c", 0.25)
+        MAX_REG = 6
+
+        def fact_with_reg(fact_fn, dtype):
+            fct0 = fact_fn(jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+            dc = jnp.asarray(delta_c_bar, dtype) * mu**kappa_c
+
+            def reg_cond(carry):
+                k, _dw, fct = carry
+                return (~fct.ok) & (k < MAX_REG)
+
+            def reg_body(carry):
+                k, dw, _fct = carry
+                dw_new = jnp.where(
+                    k == 0, jnp.asarray(delta0, dtype), dw * kappa_plus
+                )
+                return (k + 1, dw_new, fact_fn(dw_new, dc))
+
+            _k, _dw, fct = jax.lax.while_loop(
+                reg_cond, reg_body, (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype), fct0)
+            )
+            return fct
+
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
         if is_qn:
@@ -367,10 +415,13 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             from hiop_tpu.kkt import mds as kkt_mds
 
             hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
-            fct = kkt_mds.factorize(
-                hss, Hdd, Dx[:ns], Dx[ns:], Dd,
-                Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
-                0.0, 0.0, 0.0, 0.0,
+            fct = fact_with_reg(
+                lambda dw, dc: kkt_mds.factorize(
+                    hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                    Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                    dw, dw, dc, dc,
+                ),
+                it.x.dtype,
             )
             dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
                 fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
@@ -380,8 +431,13 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         else:
             from hiop_tpu.kkt import newton_dense as kkt_nd
 
-            H = hess(it.x, it.yc, it.yd)
-            fct = kkt_nd.factorize_quick(H, Dx, Dd, Jc, Jd, 0.0, 0.0, 0.0, 0.0)
+            H = hess(it.x, it.yc, it.yd, th)
+            fct = fact_with_reg(
+                lambda dw, dc: kkt_nd.factorize_quick(
+                    H, Dx, Dd, Jc, Jd, dw, dw, dc, dc
+                ),
+                it.x.dtype,
+            )
             dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
             fct_ok = fct.ok
         dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
@@ -417,7 +473,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         def trial_at(alpha):
             it_t = it_mod.take_step_primals(it, dir_, alpha)
             it_t, _ = it_mod.compute_safe_slacks(it_t, it, b, mu)
-            f_t, c_t, d_t = evals(it_t.x)
+            f_t, c_t, d_t = evals(it_t.x, th)
             return it_t, f_t, c_t, d_t
 
         def ls_cond(carry):
@@ -468,7 +524,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 yc=jnp.where(use_lsq, yc_lsq, it_new.yc),
                 yd=jnp.where(use_lsq, yd_lsq, it_new.yd),
             )
-        grad_n, Jc_n, Jd_n = derivs(it_new.x)
+        grad_n, Jc_n, Jd_n = derivs(it_new.x, th)
 
         # keep the old state when the step was not accepted (host falls back)
         def pick(new, old):
@@ -511,6 +567,8 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             fact_ok=fct_ok, filter_add=filter_add,
             theta_add=theta_t, phi_add=phi_t,
         )
+        if parametric:
+            return (th, state_new), scal
         return state_new, scal
 
     return jax.jit(step)

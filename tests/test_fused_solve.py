@@ -73,3 +73,32 @@ def test_solve_mode_callback_override_falls_back():
     r = FilterIPMNewton(NlpDenseConstraints(p, opts)).run()
     assert calls, "iterate_callback was never invoked"
     assert r.status.name == "User_Stopped"
+
+
+def test_sharded_fused_solve_matches_single():
+    """jit_mode=solve with the variable axis sharded over the 8-device mesh:
+    the ENTIRE distributed QN solve (psum'd reductions, replicated Schur
+    solve, on-device filter + mu schedule) runs as one collective XLA
+    program and must match the single-device fused solve."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    import examples.dense_ex1 as ex1
+    from hiop_tpu import NlpDenseConstraints
+    from hiop_tpu.parallel.mesh import make_mesh, shard_formulation
+
+    def run(sharded):
+        o = NlpOptions()
+        o.update(verbosity_level=0, jit_mode="solve")
+        nlp = NlpDenseConstraints(ex1.DenseConsEx1(512), o)
+        if sharded:
+            shard_formulation(nlp, make_mesh(8))
+        return FilterIPMQuasiNewton(nlp).run()
+
+    r1 = run(False)
+    r8 = run(True)
+    assert r8.status == r1.status
+    assert r8.iterations == r1.iterations
+    assert abs(r8.obj - r1.obj) <= 1e-9 * (1 + abs(r1.obj))
