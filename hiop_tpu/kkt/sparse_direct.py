@@ -16,9 +16,13 @@ playing the reference's MA57 role; the reference's per-iteration flow is
 symbolic-once + numeric-per-iteration, mirrored here by precomputing the
 static COO pattern at construction and refreshing only the value vector).
 
-A sparse LU carries no inertia information, so the caller uses the
-inertia-free curvature acceptor — the same pairing the reference uses for
-its non-inertia backends.  O(nnz) assembly + fill-limited factorization
+A sparse LU carries no inertia information, so with the ``splu`` backend
+the caller uses the inertia-free curvature acceptor — the reference's
+pairing for non-inertia backends.  The ``native_ldl`` backend
+(hiop_tpu/native/ldl.cpp, the MA57 role) reports pivot-sign inertia
+through :attr:`last_inertia`, enabling the reference's default
+inertia-correction acceptance (hiopFactAcceptorIC,
+hiopFactAcceptor.hpp:97).  O(nnz) assembly + fill-limited factorization
 replaces the dense O(n^2) Hessian materialization for large sparse
 problems with equality constraints (which the condensed/matrix-free paths
 cannot take).
@@ -86,6 +90,9 @@ class SparseXDYcYdKKT:
         self._nnz_je = jer.size
         self._nnz_ji = jir.size
         self._solver = None
+        #: (n_pos, n_neg, n_zero) from the last factorization when the
+        #: backend reports it (native_ldl), else None (splu/LU backends)
+        self.last_inertia = None
 
     def _values(self, hvals, Dx, Dd, je_vals, ji_vals, deltas):
         dwx, dwd, dcc, dcd = deltas
@@ -118,9 +125,12 @@ class SparseXDYcYdKKT:
         ).tocsc()
         try:
             self._solver = self._factory(A)
-        except RuntimeError:  # SuperLU raises on exactly singular input
+        except RuntimeError:  # SuperLU / native LDL raise on singular input
             self._solver = None
+            self.last_inertia = None
             return False
+        inert = getattr(self._solver, "inertia", None)
+        self.last_inertia = inert() if callable(inert) else None
         return True
 
     def solve(self, rx_t, rd_t, ryc, ryd):

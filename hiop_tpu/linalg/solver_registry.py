@@ -106,3 +106,20 @@ def _splu_factory(A_csc, ordering: str = "auto"):
 
 
 register_solver("splu", _splu_factory)
+
+
+def _native_ldl_factory(A_csc, ordering: str = "auto"):
+    """Native C++ up-looking LDL^T (hiop_tpu/native/ldl.cpp) — the MA57
+    role (hiopLinSolverSymSparseMA57.hpp:109): pivot signs give the
+    inertia for the inertia-correction acceptor. 'auto' keeps the natural
+    KKT block order (x, d, yc, yd): the IPM's deltas make the matrix
+    quasi-definite, for which the unpivoted positive-block-first
+    elimination is stable; reorderings may place constraint rows before
+    the primal block and hit structural zero pivots."""
+    from hiop_tpu.native.ldl import NativeLdlFactorization
+
+    ord_map = {"auto": "none", "none": "none", "rcm": "rcm", "amd": "rcm"}
+    return NativeLdlFactorization(A_csc, ordering=ord_map.get(ordering, "none"))
+
+
+register_solver("native_ldl", _native_ldl_factory)

@@ -474,9 +474,12 @@ class _SparseDirectStrategy:
     """Host sparse-direct XDYcYd KKT (kkt/sparse_direct.py): O(nnz)
     triplet assembly + a registry-selected sparse LU (splu/SuperLU plays
     the reference's MA57 role, hiopKKTLinSysCompressedSparseXDYcYd,
-    hiopKKTLinSysSparse.hpp:133). No inertia from the LU, so acceptance is
-    always the inertia-free curvature test — the reference's pairing for
-    non-inertia backends. Selected by naming a registered backend in the
+    hiopKKTLinSysSparse.hpp:133). With LU backends (no inertia) acceptance
+    is the inertia-free curvature test — the reference's pairing for
+    non-inertia backends; the ``native_ldl`` backend reports pivot-sign
+    inertia, enabling the reference's default inertia-correction
+    acceptance (hiopFactAcceptorIC: n_neg must equal m_eq + m_ineq).
+    Selected by naming a registered backend in the
     ``linear_solver_sparse`` option."""
 
     MAX_REFACT = 10
@@ -490,6 +493,7 @@ class _SparseDirectStrategy:
         self.stats = stats
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
+        self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
         self.kkt = SparseXDYcYdKKT(nlp, o.str_("linear_solver_sparse"))
         self._mu = 1.0
         self._state = None
@@ -553,7 +557,21 @@ class _SparseDirectStrategy:
                     raise _StepComputationError("sparse-direct regularization exhausted")
                 continue
             dx, dd, dyc, dyd = out
-            if not self._curvature_ok(dx, dd):
+            inert = self.kkt.last_inertia
+            if inert is not None and not self.inertia_free:
+                # inertia-correction acceptance (hiopFactAcceptorIC): the
+                # XDYcYd augmented system must have exactly m_eq + m_ineq
+                # negative and n + m_ineq positive eigenvalues
+                npos, nneg, nzero = inert
+                if nzero > 0 or nneg != self.nlp.m_eq + self.nlp.m_ineq:
+                    n_corr += 1
+                    self.stats.kkt.n_update_corrections = n_corr
+                    if not self.perturb.compute_perturb_wrong_inertia():
+                        raise _StepComputationError(
+                            "inertia regularization exhausted"
+                        )
+                    continue
+            elif not self._curvature_ok(dx, dd):
                 n_corr += 1
                 self.stats.kkt.n_update_corrections = n_corr
                 if not self.perturb.compute_perturb_wrong_inertia():
@@ -1208,6 +1226,35 @@ class FilterIPMBase:
                 if err_nlp <= self.accep_tol:
                     self.solver_status = SolveStatus.Solve_Acceptable_Level
                     break
+                # soft FR first (apply_feasibility_restoration cpp:3046-3050):
+                # cheap retries on the existing factorization before the
+                # nested FR NLP solve
+                soft = None
+                if not getattr(self, "within_fr", False):
+                    soft = self._solve_soft_fr(
+                        strategy, it_curr, resid, norms, dir_, b, mu, tau,
+                        c, d_eval, grad_f, Jc, Jd,
+                    )
+                if soft is not None:
+                    (it_trial, f_trial, c_trial, d_trial, theta_trial,
+                     phi_trial, alpha_soft) = soft
+                    self.log.printf(
+                        Verbosity.SCALARS,
+                        "soft feasibility restoration accepted (alpha=%g)",
+                        alpha_soft,
+                    )
+                    alpha_primal = alpha_dual = alpha_soft
+                    ls_status, ls_num, use_soc = 1, 0, 0
+                    self.iter_num += 1
+                    stats.n_iters = self.iter_num
+                    it_curr = it_trial
+                    f, c, d_eval = f_trial, c_trial, d_trial
+                    grad_f = nlp.eval_grad_f(it_curr.x)
+                    Jc, Jd = nlp.eval_jac(it_curr.x)
+                    resid, norms = self._update_residual(
+                        it_curr, c, d_eval, grad_f, Jc, Jd, b, mu
+                    )
+                    continue
                 fr = None
                 if not getattr(self, "within_fr", False) and hasattr(Jc, "ndim"):
                     from hiop_tpu.optimization.fr_problem import (
@@ -1458,6 +1505,66 @@ class FilterIPMBase:
             num_soc += 1
         return None
 
+    #: soft-FR limits, hardwired as in the reference
+    #: (solve_soft_feasibility_restoration, hiopAlgFilterIPM.cpp:3237-3238)
+    MAX_SOFT_FR_ITER = 10
+    KAPPA_F = 0.999
+
+    def _solve_soft_fr(
+        self, strategy, it_curr, resid, norms, dir_, b, mu, tau,
+        c, d_eval, grad_f, Jc, Jd,
+    ):
+        """Soft feasibility restoration (solve_soft_feasibility_restoration,
+        hiopAlgFilterIPM.cpp:3235): before posing the full FR NLP, re-use the
+        *existing* KKT factorization to step from successive trial points,
+        accepting when the one-norm barrier KKT error contracts by kappa_f
+        and the trial is not in the filter.  Duals are updated inside (the
+        reference calls dualsUpdate_->go with equal primal/dual steps).
+        Returns (it_trial, f, c, d, theta, phi, alpha) or None."""
+        o = self.opts
+        kkt_err_curr = float(norms.bar_optim_onenorm + norms.nlp_feasib_onenorm)
+        soft_dir = dir_
+        it_trial = None
+        f_trial = c_trial = d_trial = None
+        for num_soft in range(self.MAX_SOFT_FR_ITER):
+            if num_soft > 0:
+                # re-evaluate at the rejected trial, re-solve with the same
+                # factorization and the trial residual (cpp:3276-3282)
+                f_trial, c_trial, d_trial = self._eval_f_cons(it_trial.x)
+                res_trial, _ = self._update_residual(
+                    it_trial, c_trial, d_trial, grad_f, Jc, Jd, b, mu
+                )
+                soft_dir = strategy.solve_rhs(res_trial, it_curr, b)
+            ap, ad = it_mod.fraction_to_the_boundary(it_curr, soft_dir, tau, b)
+            alpha = min(float(ap), float(ad))  # cpp:3288 equalizes the steps
+            it_trial = it_mod.take_step_primals(it_curr, soft_dir, alpha)
+            it_trial, _ = it_mod.compute_safe_slacks(it_trial, it_curr, b, mu)
+            f_trial, c_trial, d_trial = self._eval_f_cons(it_trial.x)
+            it_trial = it_mod.take_step_duals(it_trial, soft_dir, alpha, alpha)
+            it_trial = it_mod.adjust_duals(it_trial, b, mu, self.kappa_Sigma)
+            theta_trial = self._theta_onenorm(it_trial, c_trial, d_trial)
+            if (
+                o.str_("duals_update_type") == "lsq"
+                and theta_trial <= o.num("recalc_lsq_duals_tol")
+                and Jc.shape[0] + Jd.shape[0] > 0
+            ):
+                yc_new, yd_new = du.lsq_duals(
+                    Jc, Jd, grad_f,
+                    it_trial.zl, it_trial.zu, it_trial.vl, it_trial.vu,
+                )
+                it_trial = it_trial._replace(yc=yc_new, yd=yd_new)
+            _, norms_t = self._update_residual(
+                it_trial, c_trial, d_trial, grad_f, Jc, Jd, b, mu
+            )
+            kkt_err_trial = float(norms_t.bar_optim_onenorm + norms_t.nlp_feasib_onenorm)
+            if kkt_err_trial > self.KAPPA_F * kkt_err_curr:
+                return None  # insufficient KKT-error reduction (cpp:3340)
+            phi_trial = self._logbar_f(it_trial, f_trial, b, mu)
+            if self.filter.contains(float(theta_trial), float(phi_trial)):
+                continue  # in the filter: reject, iterate again (cpp:3347)
+            self._n_soft_fr = getattr(self, "_n_soft_fr", 0) + 1
+            return it_trial, f_trial, c_trial, d_trial, theta_trial, phi_trial, alpha
+        return None
 
     # ------------------------------------------------------ fused fast path
     #: fused-iteration mode for this solver class ('newton'/'qn'); None

@@ -72,6 +72,38 @@ def test_force_resto_recovers():
     assert _rel(r.obj, ref) <= 1e-5
 
 
+def test_soft_fr_rescues_rejected_steps(monkeypatch):
+    """Force line-search rejections mid-solve so the step collapses below
+    min_step_size: the soft feasibility-restoration retry
+    (solve_soft_feasibility_restoration, hiopAlgFilterIPM.cpp:3235) must be
+    attempted before the nested FR solve, and the solver must still
+    converge to the selfcheck objective."""
+    from hiop_tpu.optimization.filter_ipm import FilterIPMBase
+
+    orig_ls = FilterIPMBase._accept_line_search_conditions
+    orig_soft = FilterIPMBase._solve_soft_fr
+    seen = {}
+
+    def flaky_ls(self, *a, **kw):
+        if self.iter_num == 3 and not seen.get("soft_ran"):
+            return 0  # reject every trial on iteration 3 until FR triggers
+        return orig_ls(self, *a, **kw)
+
+    def spy_soft(self, *a, **kw):
+        seen["soft_ran"] = True
+        out = orig_soft(self, *a, **kw)
+        seen["soft_ok"] = out is not None
+        return out
+
+    monkeypatch.setattr(FilterIPMBase, "_accept_line_search_conditions", flaky_ls)
+    monkeypatch.setattr(FilterIPMBase, "_solve_soft_fr", spy_soft)
+    r = sx1.solve(50, verbosity_level=0)
+    assert seen.get("soft_ran"), "soft FR was never attempted"
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= 1e-5
+
+
 def test_outer_ir_can_be_disabled():
     r = sx1.solve(50, verbosity_level=0, ir_outer_maxit=0)
     assert r.status.is_success

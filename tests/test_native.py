@@ -91,3 +91,83 @@ def test_rcm_is_permutation_and_reduces_bandwidth():
 def test_native_build_succeeds_in_this_env():
     # g++ is baked into the image; the native path should be active
     assert native.native_available()
+
+
+# ---------------------------------------------------------------- native LDL
+def _random_sym_indefinite(n, seed, density=0.3):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    A = sp.random(n, n, density=density, random_state=rng, format="csc")
+    A = (A + A.T) * 0.5
+    A = A + sp.diags(rng.uniform(-3, 3, n))
+    return A.tocsc()
+
+
+def test_native_ldl_matches_scipy_and_eig_inertia():
+    from hiop_tpu.native.ldl import NativeLdlFactorization, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    for seed in (0, 1, 2):
+        A = _random_sym_indefinite(30, seed)
+        f = NativeLdlFactorization(A, ordering="none")
+        b = np.random.default_rng(seed + 100).standard_normal(30)
+        x = f.solve(b)
+        assert np.allclose(A @ x, b, atol=1e-8)
+        # multi-rhs
+        B = np.random.default_rng(seed + 200).standard_normal((30, 3))
+        X = f.solve(B)
+        assert np.allclose(A @ X, B, atol=1e-8)
+        w = np.linalg.eigvalsh(A.toarray())
+        npos, nneg, nzero = f.inertia()
+        assert nzero == 0
+        assert npos == int(np.sum(w > 0))
+        assert nneg == int(np.sum(w < 0))
+
+
+def test_native_ldl_rcm_ordering_roundtrip():
+    from hiop_tpu.native.ldl import NativeLdlFactorization, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    A = _random_sym_indefinite(40, 7)
+    f = NativeLdlFactorization(A, ordering="rcm")
+    b = np.arange(1.0, 41.0)
+    x = f.solve(b)
+    assert np.allclose(A @ x, b, atol=1e-8)
+
+
+def test_native_ldl_singular_raises():
+    from hiop_tpu.native.ldl import (
+        NativeLdlFactorization,
+        SingularError,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    import scipy.sparse as sp
+
+    A = sp.diags([1.0, 2.0, 0.0, 3.0]).tocsc()
+    with pytest.raises(SingularError):
+        NativeLdlFactorization(A, ordering="none")
+
+
+def test_sparse_ex1_with_native_ldl_inertia_acceptance():
+    """End-to-end Newton solve through the native LDL backend with the
+    reference's default inertia-correction acceptor."""
+    from hiop_tpu.native.ldl import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    import examples.sparse_ex1 as sx1
+
+    r = sx1.solve(
+        50, verbosity_level=0,
+        linear_solver_sparse="native_ldl",
+        fact_acceptor="inertia_correction",
+    )
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert abs((r.obj - ref) / (1 + abs(ref))) <= tol
