@@ -131,6 +131,20 @@ def assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
     return jnp.concatenate([row_x, row_d, row_yc, row_yd], axis=0)
 
 
+@jax.jit
+def xdycyd_matvec(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd,
+                  dx, dd, dyc, dyd):
+    """Apply the compressed XDYcYd operator (same blocks as
+    :func:`assemble_xdycyd`) to a direction tuple — used by the FGMRES
+    inner iterative refinement of low-precision factorization solves (the
+    ReSolve pattern, /root/reference/src/LinAlg/ReSolve)."""
+    rx = H @ dx + (Dx + delta_wx) * dx + Jc.T @ dyc + Jd.T @ dyd
+    rd = (Dd + delta_wd) * dd - dyd
+    ryc = Jc @ dx - delta_cc * dyc
+    ryd = Jd @ dx - dd - delta_cd * dyd
+    return rx, rd, ryc, ryd
+
+
 def _lu_with_inertia(M, delta_cc):
     """Host-side LU + eigen inertia (numpy LAPACK). The safe path is the
     *stable fallback* and deliberately runs on the host: the reference's

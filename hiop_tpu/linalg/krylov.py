@@ -155,3 +155,90 @@ def bicgstab(
         if r_norm <= stop:
             break
     return x, KrylovInfo(r_norm <= stop, it, r_norm)
+
+
+def fgmres(
+    matvec: Callable,
+    rhs,
+    M_inv: Optional[Callable] = None,
+    x0=None,
+    tol: float = 1e-12,
+    restart: int = 20,
+    maxit: int = 100,
+):
+    """Flexible GMRES with restart (right preconditioning that may change
+    between iterations). Parity with the reference's ReSolve iterative
+    refinement (/root/reference/src/LinAlg/ReSolve/IterativeRefinement.hpp:25,
+    FGMRES over the GPU-refactorized LU): here it refines low-precision
+    factorization solves — the f32 factors act as the preconditioner, the
+    matvec runs in f64. Returns (x, info)."""
+    import numpy as np
+
+    x = x0 if x0 is not None else tree_zeros_like(rhs)
+    b_norm = tree_norm(rhs)
+    stop = max(tol * b_norm, 1e-300)
+    total_it = 0
+    r_norm = float("inf")
+    while total_it < maxit:
+        r = tree_sub(rhs, matvec(x)) if (x0 is not None or total_it) else rhs
+        beta = tree_norm(r)
+        r_norm = beta
+        if beta <= stop:
+            return x, KrylovInfo(True, total_it, beta)
+        m = min(restart, maxit - total_it)
+        V = [tree_scale(1.0 / beta, r)]
+        Z = []
+        H = np.zeros((m + 1, m))
+        cs = np.zeros(m)
+        sn = np.zeros(m)
+        g = np.zeros(m + 1)
+        g[0] = beta
+        j_done = 0
+        for j in range(m):
+            z = M_inv(V[j]) if M_inv is not None else V[j]
+            Z.append(z)
+            w = matvec(z)
+            # modified Gram-Schmidt
+            for i in range(j + 1):
+                H[i, j] = tree_dot(w, V[i])
+                w = tree_axpy(-H[i, j], V[i], w)
+            H[j + 1, j] = tree_norm(w)
+            if H[j + 1, j] > 0:
+                V.append(tree_scale(1.0 / H[j + 1, j], w))
+            # apply accumulated Givens rotations to the new column
+            for i in range(j):
+                t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]
+                H[i + 1, j] = -sn[i] * H[i, j] + cs[i] * H[i + 1, j]
+                H[i, j] = t
+            denom = float(np.hypot(H[j, j], H[j + 1, j]))
+            if denom == 0.0:
+                j_done = j + 1
+                break
+            cs[j] = H[j, j] / denom
+            sn[j] = H[j + 1, j] / denom
+            H[j, j] = denom
+            H[j + 1, j] = 0.0
+            g[j + 1] = -sn[j] * g[j]
+            g[j] = cs[j] * g[j]
+            total_it += 1
+            j_done = j + 1
+            r_norm = abs(g[j + 1])
+            if r_norm <= stop or H[j + 1, j] == 0.0 and j + 2 > len(V):
+                break
+        if j_done:
+            # back-substitute the (j_done x j_done) triangular system
+            y = np.zeros(j_done)
+            for i in range(j_done - 1, -1, -1):
+                s = g[i] - H[i, i + 1:j_done] @ y[i + 1:j_done]
+                y[i] = s / H[i, i] if H[i, i] != 0.0 else 0.0
+            for i in range(j_done):
+                if y[i] != 0.0:
+                    x = tree_axpy(float(y[i]), Z[i], x)
+        x0 = x  # subsequent cycles recompute the true residual
+        if r_norm <= stop:
+            return x, KrylovInfo(True, total_it, r_norm)
+        if j_done == 0:
+            break  # breakdown with no progress
+    # report the true residual of the final iterate
+    r_norm = tree_norm(tree_sub(rhs, matvec(x)))
+    return x, KrylovInfo(r_norm <= stop, total_it, r_norm)

@@ -324,6 +324,10 @@ class _NewtonDenseStrategy:
                 else:
                     dir_full = None
                     dx, dd, dyc, dyd = self._solve_factors(f, rx_t, rd_t, ryc, ryd)
+                    if self.fact_dtype != jnp.float64 and self.kkt_kind == "xdycyd":
+                        dx, dd, dyc, dyd = self._inner_refine(
+                            f, (rx_t, rd_t, ryc, ryd), (dx, dd, dyc, dyd)
+                        )
             if self.inertia_free:
                 p = self.perturb
                 good = bool(
@@ -346,6 +350,37 @@ class _NewtonDenseStrategy:
             dir_ = self._maybe_refine(resid, it, b, dir_)
             return dir_, True
         raise _StepComputationError("max refactorizations reached")
+
+    def _inner_refine(self, f, rhs4, sol4):
+        """FGMRES inner iterative refinement of the mixed-precision
+        compressed solve: the f64 XDYcYd operator is the matvec, the f32
+        factorization is the (flexible right) preconditioner — the
+        reference's ReSolve FGMRES-IR pattern
+        (ReSolve/IterativeRefinement.hpp:25), driven by the ir_inner_*
+        options."""
+        o = self.nlp.options
+        maxit = o.integer("ir_inner_maxit")
+        if maxit <= 0:
+            return sol4
+        p = self.perturb
+        deltas = (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd)
+        H, Dx, Dd, Jc, Jd = self._H, self._Dx, self._Dd, self._Jc, self._Jd
+
+        def matvec(v):
+            return kkt_nd.xdycyd_matvec(H, Dx, Dd, Jc, Jd, *deltas, *v)
+
+        def precond(v):
+            return self._solve_factors(f, *v)
+
+        # adaptive tolerance: factor*mu, floored by ir_inner_tol (the f32
+        # schedule keeps mu >= 1e-4 here, so the default target is 1e-6)
+        tol = max(o.num("ir_inner_tol"), o.num("ir_inner_tol_factor") * self._mu)
+        refined, info = krylov.fgmres(
+            matvec, rhs4, M_inv=precond, x0=sol4, tol=tol,
+            restart=o.integer("ir_inner_restart"), maxit=maxit,
+        )
+        self.stats.kkt.n_iter_refin_inner += info.iters
+        return refined if info.converged or info.iters > 0 else sol4
 
     def _maybe_refine(self, resid, it: Iterate, b: Bounds, dir_: Iterate) -> Iterate:
         """Outer BiCGStab iterative refinement over the full 12-block KKT

@@ -243,3 +243,61 @@ def test_solver_registry_custom_bridge():
         assert calls["n"] > 0
     finally:
         solver_registry._REGISTRY.pop("test-dense-bridge", None)
+
+
+def test_fgmres_solves_nonsym_system():
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((25, 25)) + 25 * np.eye(25))
+    x_true = jnp.asarray(rng.standard_normal(25))
+    b = A @ x_true
+    x, info = krylov.fgmres(lambda v: A @ v, b, tol=1e-12, restart=8, maxit=200)
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-8)
+
+
+def test_fgmres_f32_preconditioner_reaches_f64_accuracy():
+    """The ReSolve pattern: an f32 factorization as flexible right
+    preconditioner lets FGMRES in f64 recover full precision in a few
+    iterations."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(4)
+    A64 = rng.standard_normal((30, 30)) + 30 * np.eye(30)
+    x_true = rng.standard_normal(30)
+    b = A64 @ x_true
+    lu32 = sla.lu_factor(A64.astype(np.float32))
+
+    def M_inv(v):
+        return jnp.asarray(
+            sla.lu_solve(lu32, np.asarray(v, np.float32)).astype(np.float64)
+        )
+
+    Aj, bj = jnp.asarray(A64), jnp.asarray(b)
+    x, info = krylov.fgmres(lambda v: Aj @ v, bj, M_inv=M_inv, tol=1e-13, maxit=20)
+    assert info.converged and info.iters <= 6
+    assert np.allclose(np.asarray(x), x_true, atol=1e-9)
+
+
+def test_mixed_precision_inner_ir_refines_to_selfcheck(monkeypatch):
+    """kkt_fact_dtype=float32 factorizes on the f32 path and the FGMRES
+    inner IR (ir_inner_*) recovers f64 directions; the solve must hit the
+    f64 selfcheck objective and actually exercise the inner IR."""
+    from hiop_tpu import NlpOptions, NlpSparse
+    from hiop_tpu.linalg import krylov as krylov_mod
+
+    calls = {"n": 0}
+    orig = krylov_mod.fgmres
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(krylov_mod, "fgmres", spy)
+    o = NlpOptions()
+    o.update(verbosity_level=0, kkt_fact_dtype="float32", ir_inner_maxit=50)
+    nlp = NlpSparse(sx1.SparseEx1(50), o)
+    r = FilterIPMNewton(nlp).run()
+    assert r.status.is_success
+    ref, tol = sx1.SELFCHECK[50]
+    assert _rel(r.obj, ref) <= tol
+    assert calls["n"] > 0, "inner FGMRES IR was never invoked"
