@@ -118,7 +118,7 @@ def _native_ldl_factory(A_csc, ordering: str = "auto"):
     the primal block and hit structural zero pivots."""
     from hiop_tpu.native.ldl import NativeLdlFactorization
 
-    ord_map = {"auto": "none", "none": "none", "rcm": "rcm", "amd": "rcm"}
+    ord_map = {"auto": "none", "none": "none", "rcm": "rcm", "amd": "amd"}
     return NativeLdlFactorization(A_csc, ordering=ord_map.get(ordering, "none"))
 
 

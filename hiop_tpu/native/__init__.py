@@ -58,6 +58,8 @@ def _try_load() -> Optional[ctypes.CDLL]:
             ]
             lib.rcm_ordering.restype = None
             lib.rcm_ordering.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P]
+            lib.amd_ordering.restype = ctypes.c_int64
+            lib.amd_ordering.argtypes = [ctypes.c_int64, _I64P, _I64P, _I64P]
             _lib = lib
         except Exception:
             _build_failed = True
@@ -158,3 +160,19 @@ def rcm_ordering(n: int, row_ptr: np.ndarray, cols: np.ndarray) -> np.ndarray:
                 visited[v] = True
                 q.append(v)
     return np.asarray(order[::-1], np.int64)
+
+
+def amd_ordering(n: int, row_ptr: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Approximate-minimum-degree ordering (new -> old) of a symmetric
+    pattern (CSR of A + A^T; diagonal ignored) — the fill-reducing ordering
+    MA57/cuSOLVER provide in the reference (`linear_solver_sparse_ordering`
+    option, hiopOptions.cpp). Falls back to RCM without a C++ toolchain."""
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    lib = _try_load()
+    if lib is None:
+        return rcm_ordering(n, row_ptr, cols)
+    order = np.empty(n, np.int64)
+    if lib.amd_ordering(n, row_ptr, cols, order) != 0:
+        raise ValueError("invalid symmetric pattern (column index out of range)")
+    return order

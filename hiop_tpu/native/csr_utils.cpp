@@ -18,6 +18,10 @@
 //   csr_transpose_index — column-wise permutation for CSR^T
 //   rcm_ordering      — reverse Cuthill-McKee fill-reducing ordering of a
 //                       symmetric sparsity pattern
+//   amd_ordering      — approximate-minimum-degree fill-reducing ordering
+//                       (quotient graph + element absorption), the role of
+//                       MA57's internal AMD / cuSOLVER's symamd option
+//                       (linear_solver_sparse_ordering, hiopOptions.cpp)
 
 #include <algorithm>
 #include <cstdint>
@@ -123,6 +127,136 @@ void rcm_ordering(int64_t n, const int64_t* row_ptr, const int64_t* cols,
   }
   // reverse for RCM
   for (int64_t i = 0; i < n / 2; ++i) std::swap(order[i], order[n - 1 - i]);
+}
+
+// Approximate minimum degree (AMD) ordering of a symmetric pattern given
+// in CSR (pattern of A + A^T expected; the diagonal is ignored). Writes
+// the permutation (new -> old), i.e. order[k] = original index eliminated
+// at step k. Returns 0 on success.
+//
+// Standard quotient-graph scheme (Amestoy–Davis–Duff): eliminating pivot p
+// turns it into an *element* whose member list is the union of p's
+// remaining variable neighbors and the members of p's adjacent elements
+// (which are absorbed). Degrees of the affected variables are updated with
+// the approximate external degree
+//   d(j) = |A_j \ Le| + |Le \ j| + sum_{e in E_j, e != p} |Le \ Lp|,
+// where the |Le \ Lp| terms are computed in one linear pass with a stamped
+// counter. Elements whose members are all inside the new element are
+// absorbed aggressively. No supervariable compression: quality is
+// unaffected, only speed for patterns with many duplicate rows.
+int64_t amd_ordering(int64_t n, const int64_t* row_ptr, const int64_t* cols,
+                     int64_t* order) {
+  if (n <= 0) return 0;
+  // state: 0 = live variable, 1 = element (eliminated pivot), 2 = dead
+  std::vector<char> state(n, 0);
+  std::vector<std::vector<int64_t>> adjvar(n), adjel(n), members(n);
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; ++i) {
+    auto& av = adjvar[i];
+    for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+      const int64_t v = cols[k];
+      if (v < 0 || v >= n) return -1;
+      if (v != i) av.push_back(v);
+    }
+    std::sort(av.begin(), av.end());
+    av.erase(std::unique(av.begin(), av.end()), av.end());
+    deg[i] = static_cast<int64_t>(av.size());
+  }
+
+  // degree buckets (doubly linked lists)
+  std::vector<int64_t> head(n + 1, -1), nxt(n, -1), prv(n, -1);
+  auto bucket_insert = [&](int64_t i, int64_t d) {
+    nxt[i] = head[d];
+    prv[i] = -1;
+    if (head[d] >= 0) prv[head[d]] = i;
+    head[d] = i;
+  };
+  auto bucket_remove = [&](int64_t i, int64_t d) {
+    if (prv[i] >= 0) nxt[prv[i]] = nxt[i]; else head[d] = nxt[i];
+    if (nxt[i] >= 0) prv[nxt[i]] = prv[i];
+  };
+  for (int64_t i = 0; i < n; ++i) bucket_insert(i, deg[i]);
+
+  std::vector<int64_t> vstamp(n, -1), estamp(n, -1), ew(n, 0);
+  std::vector<int64_t> Le;
+  int64_t mindeg = 0;
+
+  for (int64_t k = 0; k < n; ++k) {
+    while (mindeg <= n && head[mindeg] < 0) ++mindeg;
+    const int64_t p = head[mindeg];
+    bucket_remove(p, mindeg);
+    order[k] = p;
+    state[p] = 1;
+
+    // Le = (A_p ∪ ∪_{e in E_p} members(e)) \ {p, eliminated}
+    Le.clear();
+    const int64_t stamp = k;
+    vstamp[p] = stamp;
+    for (int64_t v : adjvar[p])
+      if (state[v] == 0 && vstamp[v] != stamp) { vstamp[v] = stamp; Le.push_back(v); }
+    for (int64_t e : adjel[p]) {
+      if (state[e] != 1) continue;  // already absorbed
+      for (int64_t v : members[e])
+        if (state[v] == 0 && vstamp[v] != stamp) { vstamp[v] = stamp; Le.push_back(v); }
+      state[e] = 2;  // absorbed into the new element p
+      members[e].clear();
+      members[e].shrink_to_fit();
+    }
+    adjvar[p].clear();
+    adjvar[p].shrink_to_fit();
+    adjel[p].clear();
+    adjel[p].shrink_to_fit();
+    members[p] = Le;
+    const int64_t le_size = static_cast<int64_t>(Le.size());
+
+    // prune adjacency of the affected variables; |Le' \ Le| via stamping
+    for (int64_t j : Le) {
+      auto& av = adjvar[j];
+      int64_t w = 0;
+      for (int64_t v : av)
+        // drop p, eliminated vars, and members of Le (covered by element p)
+        if (state[v] == 0 && vstamp[v] != stamp) av[w++] = v;
+      av.resize(w);
+      auto& ae = adjel[j];
+      w = 0;
+      for (int64_t e : ae)
+        if (state[e] == 1) {
+          ae[w++] = e;
+          if (estamp[e] != stamp) {
+            estamp[e] = stamp;
+            ew[e] = static_cast<int64_t>(members[e].size());
+          }
+          ew[e] -= 1;  // j ∈ Le ∩ Le'
+        }
+      ae.resize(w);
+      ae.push_back(p);
+    }
+
+    // aggressive absorption: Le' ⊆ Le ⇒ element e' is redundant
+    for (int64_t j : Le)
+      for (int64_t e : adjel[j])
+        if (e != p && state[e] == 1 && estamp[e] == stamp && ew[e] == 0) {
+          state[e] = 2;
+          members[e].clear();
+          members[e].shrink_to_fit();
+        }
+
+    // approximate external degrees
+    for (int64_t j : Le) {
+      int64_t d = static_cast<int64_t>(adjvar[j].size()) + (le_size - 1);
+      for (int64_t e : adjel[j])
+        if (e != p && state[e] == 1) d += (estamp[e] == stamp) ? ew[e]
+                                       : static_cast<int64_t>(members[e].size());
+      const int64_t cap = n - k - 1;
+      if (d > cap) d = cap;
+      if (d < 0) d = 0;
+      bucket_remove(j, deg[j]);
+      deg[j] = d;
+      bucket_insert(j, d);
+      if (d < mindeg) mindeg = d;
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

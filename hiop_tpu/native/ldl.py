@@ -9,8 +9,9 @@ pivoting (like the reference's MAGMA-nopiv/cuSOLVER paths): a tiny pivot
 fails the factorization and the IPM's regularization ladder retries.
 
 Selected via ``linear_solver_sparse=native_ldl``; honors
-``linear_solver_sparse_ordering`` (rcm via the native RCM, amd mapped to
-rcm). The symbolic analysis is cached per sparsity pattern, so the
+``linear_solver_sparse_ordering`` (rcm via the native RCM, amd via the
+native approximate minimum degree). The symbolic analysis is cached per
+sparsity pattern, so the
 per-iteration cost is the numeric factorization only — the reference's
 symbolic-once/numeric-per-iteration discipline.
 """
@@ -175,13 +176,14 @@ class NativeLdlFactorization:
     def _compute_perm(A, ordering: str) -> Optional[np.ndarray]:
         if ordering in ("none",):
             return None
-        # rcm / amd / auto -> native RCM over the symmetric pattern
-        from hiop_tpu.native import rcm_ordering
+        # amd -> native approximate minimum degree, rcm/auto -> native RCM
+        from hiop_tpu.native import amd_ordering, rcm_ordering
 
         import scipy.sparse as sp
 
         S = sp.csr_matrix(A)
-        order = rcm_ordering(
+        fn = amd_ordering if ordering == "amd" else rcm_ordering
+        order = fn(
             A.shape[0],
             np.asarray(S.indptr, np.int64),
             np.asarray(S.indices, np.int64),

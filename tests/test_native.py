@@ -88,6 +88,96 @@ def test_rcm_is_permutation_and_reduces_bandwidth():
     assert bw_rcm <= bw_orig
 
 
+def _grid_laplacian_pattern(side):
+    """5-point-stencil Laplacian pattern on a side x side grid (CSR)."""
+    n = side * side
+    rows, cols = [], []
+    for i in range(side):
+        for j in range(side):
+            u = i * side + j
+            rows.append(u); cols.append(u)
+            for di, dj in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                a, b = i + di, j + dj
+                if 0 <= a < side and 0 <= b < side:
+                    rows.append(u); cols.append(a * side + b)
+    _, _, _, ocols, row_ptr = native.coo_to_csr_index(
+        n, n, np.array(rows), np.array(cols)
+    )
+    return n, row_ptr, ocols
+
+
+def _ldl_fill(n, row_ptr, cols, order=None):
+    """|L| of the (permuted) pattern via the native symbolic analysis."""
+    import scipy.sparse as sp
+    from hiop_tpu.native import ldl as nldl
+
+    lib = nldl._try_load()
+    A = sp.csr_matrix(
+        (np.ones(cols.size), cols, row_ptr), shape=(n, n)
+    ).tocsc()
+    if order is not None:
+        A = A[order][:, order].tocsc()
+    U = sp.triu(A, format="csc")
+    Ap = np.ascontiguousarray(U.indptr, np.int64)
+    Ai = np.ascontiguousarray(U.indices, np.int64)
+    parent = np.empty(n, np.int64); Lnz = np.empty(n, np.int64)
+    Lp = np.empty(n + 1, np.int64); flag = np.empty(n, np.int64)
+    return lib.ldl_symbolic(n, Ap, Ai, parent, Lnz, Lp, flag)
+
+
+def test_amd_is_permutation_and_reduces_fill():
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    n, row_ptr, cols = _grid_laplacian_pattern(24)
+    order = native.amd_ordering(n, row_ptr, cols)
+    assert sorted(order.tolist()) == list(range(n))
+    fill_nat = _ldl_fill(n, row_ptr, cols)
+    fill_amd = _ldl_fill(n, row_ptr, cols, order)
+    rcm = native.rcm_ordering(n, row_ptr, cols)
+    fill_rcm = _ldl_fill(n, row_ptr, cols, rcm)
+    # AMD must beat the natural ordering clearly and not lose badly to RCM
+    assert fill_amd < 0.7 * fill_nat
+    assert fill_amd <= fill_rcm
+
+
+def test_amd_disconnected_and_dense_rows():
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    # two components: a path and a star (dense row), plus an isolated node
+    n = 12
+    pairs = set()
+    for i in range(4):  # path 0-1-2-3-4
+        pairs.add((i, i + 1)); pairs.add((i + 1, i))
+    for i in range(6, 11):  # star centered at 5
+        pairs.add((5, i)); pairs.add((i, 5))
+    rows, cols = zip(*sorted(pairs))
+    _, _, _, ocols, row_ptr = native.coo_to_csr_index(
+        n, n, np.array(rows), np.array(cols)
+    )
+    order = native.amd_ordering(n, row_ptr, ocols)
+    assert sorted(order.tolist()) == list(range(n))
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    # star center (degree 5) must come after most of its leaves (ties with
+    # the final leaf are legitimate minimum-degree behavior)
+    assert sum(inv[5] > inv[i] for i in range(6, 11)) >= 4
+
+
+def test_native_ldl_amd_ordering_roundtrip_and_inertia():
+    from hiop_tpu.native.ldl import NativeLdlFactorization, native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    A = _random_sym_indefinite(40, 11)
+    f = NativeLdlFactorization(A, ordering="amd")
+    b = np.arange(1.0, 41.0)
+    x = f.solve(b)
+    assert np.allclose(A @ x, b, atol=1e-8)
+    w = np.linalg.eigvalsh(A.toarray())
+    npos, nneg, _ = f.inertia()
+    assert npos == int(np.sum(w > 0)) and nneg == int(np.sum(w < 0))
+
+
 def test_native_build_succeeds_in_this_env():
     # g++ is baked into the image; the native path should be active
     assert native.native_available()
