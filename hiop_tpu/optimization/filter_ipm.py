@@ -1747,12 +1747,13 @@ class FilterIPMBase:
         # replay the iteration table from the history buffer
         for i in range(min(it_num + 1, hist.shape[0])):
             self.iter_num = i
-            f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i, _err_i = hist[i]
+            (f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i,
+             _err_i, soc_i) = hist[i]
             self._output_iteration(
                 f_i, feas_i, opt_i, mu_i, adu_i, apr_i,
-                int(lsn_i), int(lss_i) if i else -1,
+                int(lsn_i), int(lss_i) if i else -1, use_soc=int(soc_i),
             )
-        self._err_nlp0 = float(hist[0, fn.HIST_COLS - 1])
+        self._err_nlp0 = float(hist[0, fn.HIST_COLS - 2])
         self.iter_num = it_num
         stats.n_iters = it_num
 
@@ -1822,6 +1823,7 @@ class FilterIPMBase:
                 float(sh.f), float(sh.nlp_feasib), float(sh.nlp_optim), mu,
                 float(sh.alpha_dual), float(sh.alpha_primal),
                 int(sh.ls_count), int(sh.ls_status) if self.iter_num else -1,
+                use_soc=int(sh.use_soc),
             )
             # user callback (coarse: scalars only; arrays on request)
             info = IterateCallbackInfo(

@@ -17,10 +17,12 @@ fallbacks) stay host-side, reading a single small scalar bundle per
 iteration.
 
 Scope: jittable problems (AutoDiff / jittable sparse-dense) on the dense
-Newton quick path with the linear dual update and no SOC inside the fused
-step. Any iteration the fused step cannot certify (failed factorization,
-rejected line search) aborts fused mode and the solve falls back to the
-general loop — correctness never depends on the fast path.
+Newton quick path with the linear dual update. Second-order correction runs
+INSIDE the fused step (a lax.while_loop re-solving on the live
+factorization). Any iteration the fused step cannot certify (failed
+factorization, line search rejected even after SOC) aborts fused mode and
+the solve falls back to the general loop — correctness never depends on
+the fast path.
 """
 
 from __future__ import annotations
@@ -40,8 +42,8 @@ MAX_LS = 30
 
 #: columns of the per-iteration history buffer returned by the fused solve
 #: (jit_mode=solve): f, nlp_feasib, nlp_optim, mu, alpha_du, alpha_pr,
-#: ls_count, ls_status, err_nlp
-HIST_COLS = 9
+#: ls_count, ls_status, err_nlp, use_soc
+HIST_COLS = 10
 
 
 class FusedScalars(NamedTuple):
@@ -58,6 +60,7 @@ class FusedScalars(NamedTuple):
     alpha_dual: jax.Array
     ls_count: jax.Array
     ls_status: jax.Array     # 0 rejected (fallback), 1/2/3 accepted kinds
+    use_soc: jax.Array       # bool: step accepted via second-order correction
     fact_ok: jax.Array
     filter_add: jax.Array    # bool: host should append (theta, phi) trial
     theta_add: jax.Array
@@ -186,6 +189,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
                     s.ls_count.astype(dtype),
                     s.ls_status.astype(dtype),
                     s.err_nlp.astype(dtype),
+                    s.use_soc.astype(dtype),
                 ]
             )
             zero = jnp.asarray(0, jnp.int32)
@@ -256,7 +260,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
         state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = (
             jax.lax.while_loop(cond, body, carry0)
         )
-        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_COLS - 1]
+        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_COLS - 2]
         return state, mu, it_num, st, err_nlp, hist
 
     solve = jax.jit(solve, static_argnums=())
@@ -402,14 +406,14 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             return fct
 
         Dx, Dd = res_mod.barrier_diagonals(it, b)
-        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
         if is_qn:
             from hiop_tpu.kkt import lowrank as kkt_lowrank
 
             kdata = kkt_lowrank.LowRankKKTData(bfgs, Dx, Dd, Jc, Jd)
-            dx, dd, dyc, dyd = kkt_lowrank.solve_compressed(
-                kdata, rx_t, rd_t, ryc, ryd
-            )
+
+            def solve_compressed(rx_t, rd_t, ryc, ryd):
+                return kkt_lowrank.solve_compressed(kdata, rx_t, rd_t, ryc, ryd)
+
             fct_ok = jnp.asarray(True)
         elif is_mds:
             from hiop_tpu.kkt import mds as kkt_mds
@@ -423,10 +427,13 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 ),
                 it.x.dtype,
             )
-            dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
-                fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
-            )
-            dx = jnp.concatenate([dxs, dxd])
+
+            def solve_compressed(rx_t, rd_t, ryc, ryd):
+                dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
+                    fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                )
+                return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+
             fct_ok = fct.ok
         else:
             from hiop_tpu.kkt import newton_dense as kkt_nd
@@ -438,9 +445,21 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 ),
                 it.x.dtype,
             )
-            dx, dd, dyc, dyd = kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
+
+            def solve_compressed(rx_t, rd_t, ryc, ryd):
+                return kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
+
             fct_ok = fct.ok
-        dir_ = res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
+
+        def solve_dir(res):
+            """Direction from the LIVE factorization for residual `res`
+            (re-used by the second-order correction — triangular solves
+            only, no refactorization)."""
+            rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(res, it, b)
+            dx, dd, dyc, dyd = solve_compressed(rx_t, rd_t, ryc, ryd)
+            return res_mod.recover_direction(res, it, b, dx, dd, dyc, dyd)
+
+        dir_ = solve_dir(resid)
 
         ap_max, ad = it_mod.fraction_to_the_boundary(it, dir_, tau, b)
         theta_curr = theta_of(it, c, d_eval)
@@ -476,6 +495,70 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             f_t, c_t, d_t = evals(it_t.x, th)
             return it_t, f_t, c_t, d_t
 
+        # first trial at the full fraction-to-the-boundary step
+        it_t1, f_t1, c_t1, d_t1 = trial_at(ap_max)
+        theta_t1 = theta_of(it_t1, c_t1, d_t1)
+        phi_t1 = logbar_phi(it_t1, f_t1, mu)
+        code1 = jnp.where(
+            jnp.isfinite(f_t1), ls_accept(theta_t1, phi_t1, ap_max), 0
+        )
+
+        # ---- second-order correction (apply_second_order_correction,
+        # hiopAlgFilterIPM.cpp:2949): when the FIRST trial fails without
+        # improving infeasibility, correct the constraint residual with the
+        # trial's violation and re-solve on the SAME factorization
+        # (triangular solves only), up to max_soc_iter times while theta
+        # contracts by kappa_soc. Acceptance uses the ORIGINAL alpha and
+        # directional derivative, as in the reference.
+        max_soc = int(consts.get("max_soc_iter", 4))
+        kappa_soc = consts.get("kappa_soc", 0.99)
+        dtt = it.x.dtype
+
+        soc_init = (
+            jnp.asarray(0), jnp.zeros_like(code1),
+            crhs - c, it.d - d_eval, ap_max,
+            jnp.asarray(jnp.inf, dtt), theta_t1,
+            it_t1, f_t1, c_t1, d_t1, phi_t1, dir_, ad,
+        )
+
+        def soc_cond(carry):
+            k, code, _cs, _ds, _a, th_prev, th_tr, *_ = carry
+            return (code == 0) & (k < max_soc) & (
+                (k == 0) | (th_tr <= kappa_soc * th_prev)
+            )
+
+        def soc_body(carry):
+            (k, _code, c_soc, d_soc, alpha_soc, _th_prev, th_tr,
+             _it_t, _f_t, c_t, d_t, _ph_t, _dsoc, _ad_s) = carry
+            c_soc = alpha_soc * c_soc + (crhs - c_t)
+            d_soc = alpha_soc * d_soc + (it.d - d_t)
+            res_soc = resid._replace(ryc=c_soc, ryd=d_soc)
+            dsoc = solve_dir(res_soc)
+            ap_s, ad_s = it_mod.fraction_to_the_boundary(it, dsoc, tau, b)
+            it_s = it_mod.take_step_primals(it, dsoc, ap_s)
+            it_s, _ = it_mod.compute_safe_slacks(it_s, it, b, mu)
+            f_s, c_s, d_s = evals(it_s.x, th)
+            th_s = theta_of(it_s, c_s, d_s)
+            ph_s = logbar_phi(it_s, f_s, mu)
+            code_s = jnp.where(
+                jnp.isfinite(f_s), ls_accept(th_s, ph_s, ap_max), 0
+            )
+            return (k + 1, code_s, c_soc, d_soc, ap_s, th_tr, th_s,
+                    it_s, f_s, c_s, d_s, ph_s, dsoc, ad_s)
+
+        do_soc = (code1 == 0) & (theta_curr <= theta_t1) & (max_soc > 0)
+        soc_out = jax.lax.cond(
+            do_soc,
+            lambda ini: jax.lax.while_loop(soc_cond, soc_body, ini),
+            lambda ini: ini,
+            soc_init,
+        )
+        (_k_soc, soc_code, _cs, _ds, alpha_soc, _thp, theta_soc,
+         it_soc, f_soc, c_soc_t, d_soc_t, phi_soc, dir_soc, ad_soc) = soc_out
+        soc_ok = soc_code > 0
+
+        # ---- backtracking from alpha/2 when neither the first trial nor
+        # the SOC was accepted; a pre-accepted code makes this loop a no-op
         def ls_cond(carry):
             alpha, count, code, *_ = carry
             return (code == 0) & (alpha >= min_step) & (count < MAX_LS)
@@ -483,21 +566,46 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         def ls_body(carry):
             alpha, count, _code, it_t0, f_t0, c_t0, d_t0, th0, ph0 = carry
             it_t, f_t, c_t, d_t = trial_at(alpha)
-            th = theta_of(it_t, c_t, d_t)
+            th_ = theta_of(it_t, c_t, d_t)
             ph = logbar_phi(it_t, f_t, mu)
-            code = ls_accept(th, ph, alpha)
+            code = ls_accept(th_, ph, alpha)
             bad = ~jnp.isfinite(f_t)
             code = jnp.where(bad, 0, code)
             next_alpha = jnp.where(code == 0, alpha * 0.5, alpha)
-            return (next_alpha, count + 1, code, it_t, f_t, c_t, d_t, th, ph)
+            return (next_alpha, count + 1, code, it_t, f_t, c_t, d_t, th_, ph)
 
+        pre_code = jnp.where(code1 > 0, code1, jnp.where(soc_ok, soc_code, 0))
         init = (
-            ap_max, jnp.asarray(0), jnp.asarray(0),
-            it, f, c, d_eval, theta_curr, phi_curr,
+            ap_max * 0.5, jnp.asarray(1), pre_code,
+            it_t1, f_t1, c_t1, d_t1, theta_t1, phi_t1,
         )
-        alpha_p, ls_count, ls_code, it_t, f_t, c_t, d_t, theta_t, phi_t = (
+        alpha_bt, ls_count, bt_code, it_bt, f_bt, c_bt, d_bt, theta_bt, phi_bt = (
             jax.lax.while_loop(ls_cond, ls_body, init)
         )
+
+        # select the accepted trial: first trial > SOC > backtracking
+        use_soc = soc_ok & (code1 == 0)
+        use_bt = (code1 == 0) & ~soc_ok
+
+        def pick3(a1, a_soc, a_b):
+            return jax.tree.map(
+                lambda x1, xs, xb: jnp.where(
+                    code1 > 0, x1, jnp.where(use_soc, xs, xb)
+                ),
+                a1, a_soc, a_b,
+            )
+
+        it_t = pick3(it_t1, it_soc, it_bt)
+        f_t = pick3(f_t1, f_soc, f_bt)
+        c_t = pick3(c_t1, c_soc_t, c_bt)
+        d_t = pick3(d_t1, d_soc_t, d_bt)
+        theta_t = pick3(theta_t1, theta_soc, theta_bt)
+        phi_t = pick3(phi_t1, phi_soc, phi_bt)
+        alpha_p = pick3(ap_max, alpha_soc, alpha_bt)
+        ls_code = pick3(code1, soc_code, bt_code)
+        dir_ = pick3(dir_, dir_soc, dir_)
+        ad = pick3(ad, ad_soc, ad)
+        ls_count = jnp.where(use_bt, ls_count, 1)
         accepted = ls_code > 0
 
         # filter augmentation decision (host applies it)
@@ -564,6 +672,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             theta=theta_curr, phi=phi_curr,
             alpha_primal=alpha_p, alpha_dual=ad,
             ls_count=ls_count, ls_status=jnp.where(accepted, ls_code, 0),
+            use_soc=use_soc & accepted,
             fact_ok=fct_ok, filter_add=filter_add,
             theta_add=theta_t, phi_add=phi_t,
         )
