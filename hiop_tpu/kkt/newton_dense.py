@@ -145,6 +145,48 @@ def xdycyd_matvec(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd,
     return rx, rd, ryc, ryd
 
 
+class DeviceLdlFactors(NamedTuple):
+    """On-device no-pivot LDL^T factors of the XDYcYd matrix (the TPU
+    analogue of hiopLinSolverSymDenseMagmaNopiv,
+    hiopLinSolverSymDenseMagma.hpp:145)."""
+    ldl: object          # linalg.ldl_blocked.LdlFactors
+    n: int
+    mc: int
+    md: int
+    n_neg_eig: jax.Array  # -1 if breakdown/singular, else negative-pivot count
+    ok: jax.Array
+
+
+def factorize_safe_device(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    """Safe-tier factorization that stays on the accelerator: assemble the
+    full XDYcYd matrix and run the blocked no-pivot LDL^T
+    (linalg/ldl_blocked.py). Inertia comes from the pivot signs (valid by
+    Sylvester whenever the factorization does not break down); a breakdown
+    reports n_neg_eig=-1, which the perturbation ladder treats like the
+    reference treats a MAGMA-Nopiv zero pivot."""
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    M = assemble_xdycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd)
+    f = _ldl.ldl_factor(M)
+    n_neg = jnp.where(f.ok, f.n_neg, -1)
+    return DeviceLdlFactors(f, n, mc, md, n_neg, f.ok)
+
+
+def solve_safe_device(f: DeviceLdlFactors, rx_t, rd_t, ryc, ryd):
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    rhs = jnp.concatenate([rx_t, rd_t, ryc, ryd])
+    sol = _ldl.ldl_solve(f.ldl, rhs)
+    n, mc, md = f.n, f.mc, f.md
+    dx = sol[:n]
+    dd = sol[n:n + md]
+    dyc = sol[n + md:n + md + mc]
+    dyd = sol[n + md + mc:]
+    return dx, dd, dyc, dyd
+
+
 def _lu_with_inertia(M, delta_cc):
     """Host-side LU + eigen inertia (numpy LAPACK). The safe path is the
     *stable fallback* and deliberately runs on the host: the reference's

@@ -167,10 +167,23 @@ class _NewtonDenseStrategy:
         # The quick Cholesky-Schur factorization with the regularization
         # ladder + curvature safeguards is this framework's *stable* primary
         # solver (it is an exact factorization; the reference's 'stable'
-        # means MA57-class). The LU+eigen safe path is the escalation
-        # target when quick fails — reached via switch_to_safer_KKT unless
-        # linsol_mode='forcequick'.
-        self._safe_mode = False
+        # means MA57-class). When quick fails, switch_to_safer_KKT escalates
+        # through the safe tiers (unless linsol_mode='forcequick'):
+        # on-device no-pivot LDL^T (the MAGMA-Nopiv analogue,
+        # kkt/newton_dense.py::factorize_safe_device) first, host LU+eigen
+        # last — mirroring the reference's GPU->CPU solver ladder. The
+        # linear_solver_dense option pins a single tier.
+        self._safe_mode = 0  # index into (quick,) + _safe_tiers
+        dense_solver = o.str_("linear_solver_dense")
+        if dense_solver == "auto":
+            on_accel = any(
+                d.platform in ("tpu", "axon") for d in jax.devices()
+            )
+            self._safe_tiers = ("ldl_nopiv", "lu_eig") if on_accel else ("lu_eig",)
+        elif dense_solver == "ldl_nopiv":
+            self._safe_tiers = ("ldl_nopiv",)
+        else:
+            self._safe_tiers = ("lu_eig",)
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
         with self.stats.kkt.tm_update_init:
@@ -222,6 +235,12 @@ class _NewtonDenseStrategy:
                     p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
                 )
             if self._safe_mode:
+                tier = self._safe_tiers[self._safe_mode - 1]
+                if tier == "ldl_nopiv":
+                    return kkt_nd.factorize_safe_device(
+                        H, Dx, Dd, Jc, Jd,
+                        p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+                    )
                 return kkt_nd.factorize_safe(
                     H, Dx, Dd, Jc, Jd,
                     p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
@@ -241,7 +260,10 @@ class _NewtonDenseStrategy:
         elif self.kkt_kind == "normaleqn":
             out = kkt_ne.solve(f, rx_t, rd_t, ryc, ryd)
         elif self._safe_mode:
-            out = kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
+            if isinstance(f, kkt_nd.DeviceLdlFactors):
+                out = kkt_nd.solve_safe_device(f, rx_t, rd_t, ryc, ryd)
+            else:
+                out = kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
         else:
             out = kkt_nd.solve_quick(f, rx_t, rd_t, ryc, ryd)
         if self.fact_dtype != jnp.float64:
@@ -305,13 +327,17 @@ class _NewtonDenseStrategy:
                 )
                 if not ok:
                     if (
-                        not self._safe_mode
+                        self._safe_mode < len(self._safe_tiers)
                         and self.kkt_kind == "xdycyd"
                         and self.linsol_mode != "forcequick"
                     ):
-                        # escalate quick -> safe (switch_to_safer_KKT)
-                        self.log.printf(Verbosity.SCALARS, "KKT: switching to safe mode")
-                        self._safe_mode = True
+                        # escalate through the safe tiers (switch_to_safer_KKT)
+                        self._safe_mode += 1
+                        self.log.printf(
+                            Verbosity.SCALARS,
+                            "KKT: switching to safe mode (%s)",
+                            self._safe_tiers[self._safe_mode - 1],
+                        )
                         self.perturb.compute_initial_deltas()
                         continue
                     raise _StepComputationError("regularization exhausted")

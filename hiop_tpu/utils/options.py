@@ -316,6 +316,10 @@ class NlpOptions(OptionsBase):
         ri("ir_inner_maxit", 50, 0, 1000, "max inner IR iterations")
         rs("linsol_mode", "stable", ["stable", "speculative", "forcequick"],
            "stable=safe factorizations; speculative=try fast path w/ fallback; forcequick=fast only")
+        rs("linear_solver_dense", "auto", ["auto", "ldl_nopiv", "lu_eig"],
+           "dense safe-tier KKT solver: ldl_nopiv=on-device blocked no-pivot LDL^T "
+           "(MAGMA-Nopiv analogue), lu_eig=host LU + eigen inertia (LAPACK analogue); "
+           "auto=ldl_nopiv then lu_eig on accelerators, lu_eig on CPU")
         rs("fact_acceptor", "inertia_correction",
            ["inertia_correction", "inertia_free"], "acceptance test for factorizations")
         rn("neg_curv_test_fact", 1e-11, 0.0, 1e10, "inertia-free curvature test parameter")
