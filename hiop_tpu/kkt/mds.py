@@ -87,6 +87,104 @@ def factorize(
     return MdsFactors(ks_inv, Ld_safe, Ls_safe, Js, Jdn, dd_tot, ok_k, ok_s, ok)
 
 
+class MdsSafeFactors(NamedTuple):
+    """Safe-tier factors: the sparse diag block stays eliminated (exact),
+    but the dense block is NOT reduced to an SPD Schur complement — the
+    (n_d + m) symmetric-indefinite saddle system is factorized with an
+    inertia-revealing method, like the reference's MAGMA-BuKa escalation
+    for MDS systems (hiopKKTLinSysMDS.cpp:437-477)."""
+    fact: object        # LdlFactors (device) or (lu, piv) host pair
+    host: bool
+    ks_inv: jax.Array
+    Js: jax.Array
+    dd_tot: jax.Array
+    nd: int
+    mc: int
+    md: int
+    n_neg_eig: object   # int/array; -1 on breakdown
+    ok: object
+
+
+def factorize_safe(
+    hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
+    delta_wx, delta_wd, delta_cc, delta_cd, host: bool = False,
+):
+    """Assemble and factorize the reduced MDS saddle system
+
+      [ K_d    J_dn^T ] [dx_d]   [ rx_d                        ]
+      [ J_dn   -C     ] [ dy ] = [ [ryc; ryd + Dd^{-1} rd] - J_s K_s^{-1} rx_s ]
+
+    with K_s eliminated exactly (diagonal) and
+    C = J_s K_s^{-1} J_s^T + blkdiag(delta_cc I, (Dd+delta_wd)^{-1} + delta_cd I).
+    Expected inertia (n_d, m_c + m_d, 0). ``host=True`` uses scipy LU +
+    eigen inertia (the LAPACK fallback); otherwise the blocked no-pivot
+    LDL^T runs on device with inertia from the pivot signs."""
+    nd = Hdd.shape[0]
+    mc, md = Jc_s.shape[0], Jd_s.shape[0]
+    dt = Hdd.dtype
+
+    ks = hss + Dxs + delta_wx
+    ok_ks = bool(jnp.all(ks > 0))
+    ks_inv = jnp.where(ks > 0, 1.0 / jnp.maximum(ks, 1e-300), 0.0)
+    Js = jnp.concatenate([Jc_s, Jd_s], axis=0)
+    Jdn = jnp.concatenate([Jc_d, Jd_d], axis=0)
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+
+    Kd = Hdd + jnp.diag(Dxd + delta_wx)
+    C = (Js * ks_inv) @ Js.T + jnp.diag(
+        jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
+    )
+    M = jnp.block([[Kd, Jdn.T], [Jdn, -C]])
+
+    if not ok_ks:
+        # the eliminated diagonal block has nonpositive pivots: wrong
+        # inertia regardless of the saddle factorization
+        return MdsSafeFactors(
+            None, host, ks_inv, Js, dd_tot, nd, mc, md, -1, False
+        )
+    if host:
+        from hiop_tpu.kkt.newton_dense import _lu_with_inertia
+
+        lu, piv, n_neg = _lu_with_inertia(M, delta_cc)
+        import numpy as _np
+
+        ok = bool(_np.all(_np.isfinite(lu)))
+        return MdsSafeFactors(
+            (lu, piv), True, ks_inv, Js, dd_tot, nd, mc, md, int(n_neg), ok
+        )
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    f = _ldl.ldl_factor(M)
+    n_neg = int(f.n_neg) if bool(f.ok) else -1
+    return MdsSafeFactors(
+        f, False, ks_inv, Js, dd_tot, nd, mc, md, n_neg, bool(f.ok)
+    )
+
+
+def solve_safe(f: MdsSafeFactors, rxs_t, rxd_t, rd_t, ryc, ryd):
+    nd, mc, md = f.nd, f.mc, f.md
+    dd_inv = jnp.where(f.dd_tot > 0, 1.0 / jnp.maximum(f.dd_tot, 1e-300), 0.0)
+    Ksinv_rxs = f.ks_inv * rxs_t
+    rhs2 = jnp.concatenate([ryc, ryd + dd_inv * rd_t]) - f.Js @ Ksinv_rxs
+    rhs = jnp.concatenate([rxd_t, rhs2])
+    if f.host:
+        import numpy as _np
+        import scipy.linalg as _sla
+
+        sol = jnp.asarray(_sla.lu_solve(f.fact, _np.asarray(rhs)))
+    else:
+        from hiop_tpu.linalg import ldl_blocked as _ldl
+
+        sol = _ldl.ldl_solve(f.fact, rhs)
+    dxd = sol[:nd]
+    dy = sol[nd:]
+    dyc, dyd = dy[:mc], dy[mc:]
+    dxs = f.ks_inv * (rxs_t - f.Js.T @ dy)
+    dd = dd_inv * (rd_t + dyd)
+    return dxs, dxd, dd, dyc, dyd
+
+
 @jax.jit
 def solve(f: MdsFactors, rxs_t, rxd_t, rd_t, ryc, ryd):
     mc = ryc.shape[0]

@@ -118,6 +118,21 @@ class _LowRankStrategy:
         return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
 
 
+def _dense_safe_tiers(o) -> tuple:
+    """Safe-mode escalation ladder for dense symmetric-indefinite KKT
+    factorizations, from the linear_solver_dense option: the on-device
+    no-pivot LDL^T (MAGMA-Nopiv analogue) before the host LU + eigen
+    inertia (LAPACK analogue); 'auto' skips the device tier on CPU where
+    scipy's pivoted LU is both faster and stabler."""
+    dense_solver = o.str_("linear_solver_dense")
+    if dense_solver == "auto":
+        on_accel = any(d.platform in ("tpu", "axon") for d in jax.devices())
+        return ("ldl_nopiv", "lu_eig") if on_accel else ("lu_eig",)
+    if dense_solver == "ldl_nopiv":
+        return ("ldl_nopiv",)
+    return ("lu_eig",)
+
+
 class _NewtonDenseStrategy:
     """Exact Hessian with dense XDYcYd KKT and the quick/safe ladder.
 
@@ -174,16 +189,7 @@ class _NewtonDenseStrategy:
         # last — mirroring the reference's GPU->CPU solver ladder. The
         # linear_solver_dense option pins a single tier.
         self._safe_mode = 0  # index into (quick,) + _safe_tiers
-        dense_solver = o.str_("linear_solver_dense")
-        if dense_solver == "auto":
-            on_accel = any(
-                d.platform in ("tpu", "axon") for d in jax.devices()
-            )
-            self._safe_tiers = ("ldl_nopiv", "lu_eig") if on_accel else ("lu_eig",)
-        elif dense_solver == "ldl_nopiv":
-            self._safe_tiers = ("ldl_nopiv",)
-        else:
-            self._safe_tiers = ("lu_eig",)
+        self._safe_tiers = _dense_safe_tiers(o)
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
         with self.stats.kkt.tm_update_init:
@@ -670,6 +676,8 @@ class _MdsStrategy:
         self.stats = stats
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
+        self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
+        self.linsol_mode = o.str_("linsol_mode")
         self.ns = nlp.n_sparse
         self._fact_dtype_opt = (
             jnp.float32 if o.str_("kkt_fact_dtype") == "float32" else jnp.float64
@@ -677,6 +685,11 @@ class _MdsStrategy:
         self._mu = 1.0
         self._data = None
         self._factors = None
+        # safe-mode escalation to an inertia-revealing factorization of the
+        # partially reduced saddle system (the reference's MAGMA-BuKa MDS
+        # escalation, hiopKKTLinSysMDS.cpp:437-477)
+        self._safe_mode = 0
+        self._safe_tiers = _dense_safe_tiers(o)
 
     @property
     def fact_dtype(self):
@@ -708,14 +721,18 @@ class _MdsStrategy:
 
         p = self.perturb
         d = self._data
+        args = (
+            self._cast(d["hss"]), self._cast(d["Hdd"]),
+            self._cast(d["Dxs"]), self._cast(d["Dxd"]), self._cast(d["Dd"]),
+            self._cast(d["Jc_s"]), self._cast(d["Jc_d"]),
+            self._cast(d["Jd_s"]), self._cast(d["Jd_d"]),
+            p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+        )
         with self.stats.kkt.tm_update_fact:
-            return kkt_mds.factorize(
-                self._cast(d["hss"]), self._cast(d["Hdd"]),
-                self._cast(d["Dxs"]), self._cast(d["Dxd"]), self._cast(d["Dd"]),
-                self._cast(d["Jc_s"]), self._cast(d["Jc_d"]),
-                self._cast(d["Jd_s"]), self._cast(d["Jd_d"]),
-                p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
-            )
+            if self._safe_mode:
+                tier = self._safe_tiers[self._safe_mode - 1]
+                return kkt_mds.factorize_safe(*args, host=(tier == "lu_eig"))
+            return kkt_mds.factorize(*args)
 
     def _solve(self, f, rx_t, rd_t, ryc, ryd):
         from hiop_tpu.kkt import mds as kkt_mds
@@ -724,7 +741,11 @@ class _MdsStrategy:
         if self.fact_dtype != jnp.float64:
             rx_t, rd_t = self._cast(rx_t), self._cast(rd_t)
             ryc, ryd = self._cast(ryc), self._cast(ryd)
-        dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
+        solver = (
+            kkt_mds.solve_safe if isinstance(f, kkt_mds.MdsSafeFactors)
+            else kkt_mds.solve
+        )
+        dxs, dxd, dd, dyc, dyd = solver(
             f, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
         )
         out = jnp.concatenate([dxs, dxd]), dd, dyc, dyd
@@ -739,22 +760,48 @@ class _MdsStrategy:
         n_corr = 0
         for _ in range(self.MAX_REFACT):
             f = self._factorize()
-            if not bool(f.ok):
+            if self._safe_mode:
+                # inertia-revealing acceptance (hiopFactAcceptorIC)
+                if not bool(f.ok):
+                    acceptable, singular = False, False
+                elif int(f.n_neg_eig) < 0:
+                    acceptable, singular = False, True
+                elif not self.inertia_free and int(f.n_neg_eig) != f.mc + f.md:
+                    acceptable, singular = False, False
+                else:
+                    acceptable, singular = True, False
+            else:
+                acceptable = bool(f.ok)
+                singular = bool(f.ok_k) and not bool(f.ok_s)
+            if not acceptable:
                 n_corr += 1
                 self.stats.kkt.n_update_corrections = n_corr
-                singular = bool(f.ok_k) and not bool(f.ok_s)
                 ok = (
                     p.compute_perturb_singularity()
                     if singular
                     else p.compute_perturb_wrong_inertia()
                 )
                 if not ok:
+                    if (
+                        self._safe_mode < len(self._safe_tiers)
+                        and self.linsol_mode != "forcequick"
+                    ):
+                        self._safe_mode += 1
+                        self.log.printf(
+                            Verbosity.SCALARS,
+                            "MDS KKT: switching to safe mode (%s)",
+                            self._safe_tiers[self._safe_mode - 1],
+                        )
+                        p.compute_initial_deltas()
+                        continue
                     raise _StepComputationError("MDS regularization exhausted")
                 continue
             self._factors = f
             with self.stats.kkt.tm_solve_inner:
                 dx, dd, dyc, dyd = self._solve(f, rx_t, rd_t, ryc, ryd)
-            # curvature (inertia-free) test over the block Hessian
+            # curvature (inertia-free) test over the block Hessian; in safe
+            # mode with the inertia acceptor the pivot count already
+            # certified the curvature
             ns = self.ns
             dxs, dxd = dx[:ns], dx[ns:]
             dWd = float(
@@ -764,7 +811,9 @@ class _MdsStrategy:
                 + dd @ ((d["Dd"] + p.delta_wd) * dd)
             )
             nrmsq = float(dx @ dx + dd @ dd)
-            if dWd < nrmsq * self.neg_curv_fact:
+            if self._safe_mode and not self.inertia_free:
+                pass
+            elif dWd < nrmsq * self.neg_curv_fact:
                 n_corr += 1
                 self.stats.kkt.n_update_corrections = n_corr
                 if not p.compute_perturb_wrong_inertia():

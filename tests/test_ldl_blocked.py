@@ -119,3 +119,67 @@ def test_newton_solve_on_device_ldl_tier():
     r_ref = run(False)
     assert r_safe.status.is_success and r_ref.status.is_success
     assert abs((r_safe.obj - r_ref.obj) / (1 + abs(r_ref.obj))) <= 1e-7
+
+
+@pytest.mark.parametrize("tier", ["ldl_nopiv", "lu_eig"])
+def test_mds_safe_tier_matches_quick(tier):
+    """MDS safe factorization (partially reduced saddle system) gives the
+    same direction as the quick all-Cholesky reduction when both apply."""
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(5)
+    ns, nd, mc, md = 50, 12, 4, 3
+    hss = np.abs(rng.standard_normal(ns)) + 0.5
+    G = rng.standard_normal((nd, nd))
+    Hdd = G @ G.T + np.eye(nd)
+    Dxs = np.abs(rng.standard_normal(ns))
+    Dxd = np.abs(rng.standard_normal(nd))
+    Dd = np.abs(rng.standard_normal(md)) + 0.1
+    Jc_s = rng.standard_normal((mc, ns))
+    Jc_d = rng.standard_normal((mc, nd))
+    Jd_s = rng.standard_normal((md, ns))
+    Jd_d = rng.standard_normal((md, nd))
+    args = tuple(
+        jnp.asarray(a)
+        for a in (hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d)
+    ) + (0.0, 0.0, 0.0, 0.0)
+    fq = kkt_mds.factorize(*args)
+    fs = kkt_mds.factorize_safe(*args, host=(tier == "lu_eig"))
+    assert bool(fq.ok) and bool(fs.ok)
+    assert int(fs.n_neg_eig) == mc + md
+    rxs = jnp.asarray(rng.standard_normal(ns))
+    rxd = jnp.asarray(rng.standard_normal(nd))
+    rd = jnp.asarray(rng.standard_normal(md))
+    ryc = jnp.asarray(rng.standard_normal(mc))
+    ryd = jnp.asarray(rng.standard_normal(md))
+    outq = kkt_mds.solve(fq, rxs, rxd, rd, ryc, ryd)
+    outs = kkt_mds.solve_safe(fs, rxs, rxd, rd, ryc, ryd)
+    for a, b in zip(outq, outs):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_mds_solve_forced_safe_mode():
+    """Full MDS Ex1 solve with the strategy pinned to the safe tier from
+    iteration 0 reproduces the reference objective."""
+    import examples.mds_ex1 as mx1
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+
+    class _ForcedSafeNewton(FilterIPMNewton):
+        def _make_strategy(self):
+            s = super()._make_strategy()
+            s._safe_mode = 1
+            return s
+
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", KKTLinsys="xdycyd", verbosity_level=0,
+        tolerance=1e-5, mu0=0.1, duals_init="zero",
+        duals_update_type="linear", jit_mode="none",
+        linear_solver_dense="ldl_nopiv",
+    )
+    nlp = NlpMDS(mx1.MdsEx1(100, 32), o)
+    r = _ForcedSafeNewton(nlp).run()
+    assert r.status.is_success
+    # cross-check against the quick path at the same size
+    r_ref = mx1.solve(100, 32, verbosity_level=0, jit_mode="none")
+    assert abs((r.obj - r_ref.obj) / (1 + abs(r_ref.obj))) <= 1e-6
