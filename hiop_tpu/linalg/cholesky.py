@@ -39,40 +39,44 @@ _MAX_VMEM_ELEMS = 2048 * 2048  # f32: 16 MB
 def _factor_diag_block(S):
     """In-register Cholesky-Crout of a (B, B) block + its inverse.
 
-    Returns (L, L_inv), both lower triangular."""
+    Returns (L, L_inv), both lower triangular. All per-column reads and
+    writes are masked full-block ops: Mosaic (Pallas TPU) cannot lower
+    dynamic_slice / dynamic_update_slice of VALUES at traced offsets,
+    while iota comparisons against the traced loop index lower fine."""
     B = S.shape[0]
     dt = S.dtype
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
 
     def col_body(j, carry):
         S, L = carry
-        d = jnp.sqrt(jnp.maximum(S[j, j], jnp.asarray(0.0, dt)))
-        inv_d = jnp.where(d > 0, 1.0 / d, 0.0)
-        col = jax.lax.dynamic_slice(S, (0, j), (B, 1))[:, 0] * inv_d  # (B,)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+        sjj = jnp.sum(jnp.where((rows == j) & (cols == j), S, 0.0))
+        d = jnp.sqrt(jnp.maximum(sjj, jnp.asarray(0.0, dt)))
+        inv_d = jnp.where(d > 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        col = jnp.sum(jnp.where(cols == j, S, 0.0), axis=1) * inv_d   # (B,)
         col = jnp.where(row_ids >= j, col, 0.0)
-        L = jax.lax.dynamic_update_slice(L, col[:, None], (0, j))
+        L = jnp.where(cols == j, col[:, None], L)
         S = S - col[:, None] * col[None, :]
         return S, L
 
     L = jnp.zeros((B, B), dt)
-    _, L = jax.lax.fori_loop(0, B, col_body, (S, L))
+    _, L = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), col_body, (S, L))
 
     # forward substitution for L_inv: row i of X solves L[i,:i] X[:i] + L[i,i] X[i] = I[i]
     def inv_body(i, X):
-        Li = jax.lax.dynamic_slice(L, (i, 0), (1, B))[0]          # (B,)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-        Li_strict = jnp.where(col_ids < i, Li, 0.0)
-        acc = Li_strict @ X                                        # (B,)
-        e_i = (col_ids == i).astype(L.dtype)
-        diag = L[i, i]
-        inv_d = jnp.where(diag > 0, 1.0 / diag, 0.0)
+        Li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0)            # (B,)
+        Li_strict = jnp.where(row_ids < i, Li, 0.0)
+        # (1,B)@(B,B): Mosaic cannot lower a rank-1 vec@mat contraction
+        acc = (Li_strict[None, :] @ X)[0]                             # (B,)
+        e_i = (row_ids == i).astype(dt)
+        diag = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
+        inv_d = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
         row = (e_i - acc) * inv_d
-        return jax.lax.dynamic_update_slice(X, row[None, :], (i, 0))
+        return jnp.where(rows == i, row[None, :], X)
 
     X = jnp.zeros((B, B), dt)
-    X = jax.lax.fori_loop(0, B, inv_body, X)
+    X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), inv_body, X)
     return L, X
 
 
@@ -83,31 +87,28 @@ def _chol_kernel(a_ref, o_ref):
     dt = a_ref.dtype
     o_ref[:] = a_ref[:]
     col_ids_full = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col_ids_row = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
     row_ids_colblk = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)
 
     def block_step(k, _):
         kB = k * B
         M = o_ref[:]                                               # (n, n)
         Lmask = jnp.where(col_ids_full < kB, M, 0.0)               # done columns
-        Lk = jax.lax.dynamic_slice(Lmask, (kB, 0), (B, n))         # (B, n)
-        Akk = jax.lax.dynamic_slice(M, (kB, kB), (B, B))
+        Lk = jnp.where(col_ids_row < kB, o_ref[pl.ds(kB, B), :], 0.0)  # (B, n)
+        Akk = o_ref[pl.ds(kB, B), pl.ds(kB, B)]
         S = Akk - jnp.dot(Lk, Lk.T, preferred_element_type=dt)
         L, Linv = _factor_diag_block(S)
 
-        Acol = jax.lax.dynamic_slice(M, (0, kB), (n, B))           # (n, B)
+        Acol = o_ref[:, pl.ds(kB, B)]                              # (n, B)
         W = Acol - jnp.dot(Lmask, Lk.T, preferred_element_type=dt)
         P = jnp.dot(W, Linv.T, preferred_element_type=dt)          # (n, B)
 
-        in_block = (row_ids_colblk >= kB) & (row_ids_colblk < kB + B)
         below = row_ids_colblk >= kB + B
-        # rows in the diagonal block take L (aligned via P? no — use L padded)
-        Lpad = jnp.zeros((n, B), dt)
-        Lpad = jax.lax.dynamic_update_slice(Lpad, L, (kB, 0))
-        colblock = jnp.where(in_block, Lpad, jnp.where(below, P, 0.0))
-        o_ref[:, pl.ds(kB, B)] = colblock
-        return 0
+        o_ref[:, pl.ds(kB, B)] = jnp.where(below, P, 0.0)
+        o_ref[pl.ds(kB, B), pl.ds(kB, B)] = L
+        return jnp.int32(0)
 
-    jax.lax.fori_loop(0, nb, block_step, 0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), block_step, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -120,8 +121,8 @@ def pallas_cholesky(A: jax.Array, interpret: bool = False) -> jax.Array:
     return pl.pallas_call(
         _chol_kernel,
         out_shape=jax.ShapeDtypeStruct(A.shape, A.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if not interpret else None)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if not interpret else None),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(A)
 
@@ -146,6 +147,9 @@ def cholesky(A: jax.Array) -> jax.Array:
         _BACKEND == "pallas"
         and n % _BLOCK == 0
         and n * n <= _MAX_VMEM_ELEMS
+        # Mosaic has no f64 support (TPU f64 is emulated); the Pallas path
+        # serves the f32/bf16 mixed-precision factorizations
+        and A.dtype in (jnp.float32, jnp.bfloat16)
     ):
         on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
         return pallas_cholesky(A, interpret=not on_tpu)

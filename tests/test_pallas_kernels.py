@@ -36,3 +36,36 @@ def test_mixed_precision_factorization_solves():
     assert r.status.is_success
     ref, tol = sx1.SELFCHECK[50]
     assert abs((r.obj - ref) / (1 + ref)) <= tol
+
+
+@pytest.mark.parametrize("n", [128, 200, 256])
+def test_pallas_ldl_matches_xla_path(n):
+    from hiop_tpu.linalg import ldl_blocked as ldl
+
+    rng = np.random.default_rng(n)
+    A = rng.standard_normal((n, n))
+    M = jnp.asarray(A + A.T)
+    f_xla = ldl._ldl_factor_impl(M, use_pallas=False, interpret=False)
+    f_pl = ldl._ldl_factor_impl(M, use_pallas=True, interpret=True)
+    assert bool(f_xla.ok) and bool(f_pl.ok)
+    assert int(f_xla.n_neg) == int(f_pl.n_neg)
+    assert float(jnp.max(jnp.abs(f_xla.L - f_pl.L))) < 1e-9
+    assert float(jnp.max(jnp.abs(f_xla.d - f_pl.d))) < 1e-9
+
+
+def test_ldl_backend_dispatch():
+    from hiop_tpu.linalg import ldl_blocked as ldl
+
+    set_backend("pallas")
+    try:
+        rng = np.random.default_rng(1)
+        A = rng.standard_normal((64, 64))
+        M = jnp.asarray(A + A.T)
+        f = ldl.ldl_factor(M)  # padded to 128, pallas (interpret on CPU)
+        w = np.linalg.eigvalsh(np.asarray(M))
+        assert int(f.n_neg) == int(np.sum(w < 0))
+        b = jnp.asarray(rng.standard_normal(64))
+        x = ldl.ldl_solve(f, b)
+        assert np.linalg.norm(np.asarray(M @ x - b)) < 1e-8
+    finally:
+        set_backend("xla")
