@@ -65,3 +65,18 @@ def test_dense_ex4_unconstrained():
     r = ex4.solve(unconstrained=True, verbosity_level=0)
     assert r.status.is_success
     assert abs(r.obj - (-605.0)) < 1e-4
+
+
+def test_dense_ex1_selfcheck_5000():
+    """Reference CI scale point (Dense/CMakeLists.txt registers n=5000)."""
+    r = ex1.solve(5000, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex1.SELFCHECK[5000]
+    assert _rel(r.obj, ref) <= tol
+
+
+def test_dense_ex2_selfcheck_5000():
+    r = ex2.solve(5000, verbosity_level=0)
+    assert r.status.is_success
+    ref, tol = ex2.SELFCHECK[5000]
+    assert _rel(r.obj, ref) <= tol
