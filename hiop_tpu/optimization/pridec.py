@@ -163,6 +163,12 @@ class PriDecSolver:
         from hiop_tpu.parallel import scenario_sched as ssched
 
         if getattr(self.prob, "batched", False):
+            import jax
+
+            shard_opt = self.opts.str_("shard_scenarios")
+            n_dev = len(jax.devices())
+            if shard_opt != "no" and n_dev > 1 and self.S >= n_dev:
+                return self._eval_recourse_sharded(x0)
             rvals, grads = self.prob.eval_rterms_batched(np.arange(self.S), x0)
             rvals = np.asarray(rvals, dtype=np.float64)
             grads = np.asarray(grads, dtype=np.float64)
@@ -188,6 +194,49 @@ class PriDecSolver:
         nw = self.opts.integer("num_local_workers")
         rsum, gsum, _n = ssched.dynamic_schedule(eval_one, range(self.S), nw)
         return rsum / self.S, gsum / self.S
+
+    def _eval_recourse_sharded(self, x0: np.ndarray):
+        """Scenario axis sharded over the device mesh (§2.10 TPU mapping):
+        each device evaluates its S/n_dev slice of the batched recourse
+        terms and the (value, gradient) sums ride a psum over ICI — the
+        collective replacement for the reference's MPI_Isend/Irecv result
+        gathering (hiopAlgPrimalDecomp.cpp:73-131). Scenario count is
+        padded to a device multiple with zero-weighted repeats."""
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        if getattr(self, "_shard_eval", None) is None:
+            devs = np.array(jax.devices())
+            nd = len(devs)
+            S_pad = ((self.S + nd - 1) // nd) * nd
+            idx = np.arange(S_pad) % self.S
+            w = (np.arange(S_pad) < self.S).astype(np.float64)
+            mesh = Mesh(devs, ("sc",))
+            prob = self.prob
+
+            # check_vma=False: jax 0.9.0's varying-mesh-axes tracker marks
+            # vmap(grad(...))-derived values as replicated, which rewrites
+            # the psum below into a multiply by the axis size (observed:
+            # gradient sums scaled by n_dev). With the check off, psum
+            # lowers to the actual collective.
+            @jax.jit
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P("sc"), P("sc"), P()), out_specs=(P(), P()),
+                check_vma=False,
+            )
+            def eval_shard(idx_l, w_l, x):
+                rv, gr = prob.eval_rterms_batched(idx_l, x)
+                rs = jnp.sum(rv * w_l)
+                gs = jnp.sum(w_l[:, None] * gr, axis=0)
+                return jax.lax.psum(rs, "sc"), jax.lax.psum(gs, "sc")
+
+            self._shard_eval = (eval_shard, jnp.asarray(idx), jnp.asarray(w))
+        eval_shard, idx, w = self._shard_eval
+        rs, gs = eval_shard(idx, w, jnp.asarray(x0))
+        return float(rs) / self.S, np.asarray(gs, dtype=np.float64) / self.S
 
     def run(self) -> PriDecResult:
         o = self.opts

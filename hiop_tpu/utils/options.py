@@ -408,6 +408,11 @@ class PriDecOptions(OptionsBase):
         rs("options_file_master_prob", "hiop_pridec_master.options", None,
            "options file for the master solve")
         rs("mem_space", "default", ["default", "host", "device", "um"], "memory space")
+        rs("shard_scenarios", "auto", ["auto", "yes", "no"],
+           "shard the batched scenario axis over the device mesh via shard_map "
+           "with on-device psum aggregation (TPU-native replacement for the "
+           "reference's MPI master-worker dispatch); auto=when >1 device and "
+           "the problem provides a traceable eval_rterms_batched")
         rs("accum_local", "false", ["true", "false"],
            "accumulate recourse terms locally then reduce (vs dynamic dispatch)")
         ri("num_local_workers", 1, 1, 1024,

@@ -107,3 +107,31 @@ def test_pridec_accum_local_single_process():
                    accum_local="true").run()
     assert r2.status.is_success
     assert abs(r1.obj - r2.obj) <= 1e-12 * (1 + abs(r1.obj))
+
+
+def test_pridec_sharded_scenarios_match_unsharded():
+    """Mesh-sharded scenario evaluation (shard_map + psum over the 8-device
+    test mesh) reproduces the single-device batched sums exactly, including
+    when S is not a device multiple (padding path)."""
+    import jax
+    from hiop_tpu.optimization.pridec import PriDecSolver
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    for S in (16, 13):
+        p = px1.PriDecEx1(6, S)
+        x0 = np.linspace(0.0, 1.0, 6)
+        o_y = PriDecOptions(); o_y.set("shard_scenarios", "yes")
+        o_n = PriDecOptions(); o_n.set("shard_scenarios", "no")
+        s_y = PriDecSolver(p, o_y)
+        s_n = PriDecSolver(p, o_n)
+        rv_y, gr_y = s_y._eval_recourse(x0)
+        rv_n, gr_n = s_n._eval_recourse(x0)
+        assert abs(rv_y - rv_n) < 1e-10 * max(1.0, abs(rv_n))
+        assert np.allclose(gr_y, gr_n, atol=1e-10)
+
+
+def test_pridec_sharded_full_solve():
+    solver = px1.solve(10, 32, verbosity_level=0, shard_scenarios="yes")
+    r = solver.run()
+    assert r.status.is_success
+    assert abs(r.obj - (0.5 * 32 * 10 + 0.5 * 10)) < 1e-5
