@@ -1683,6 +1683,19 @@ class FilterIPMBase:
 
     def run(self) -> SolverResult:
         o = self.opts
+        profile_dir = o.str_("profile_dir")
+        if profile_dir:
+            # device-level tracing on top of the hiopRunStats-style phase
+            # timers (SURVEY.md §5.1: "jax profiler + explicit phase
+            # timers"); the trace is viewable with tensorboard/xprof
+            import jax.profiler as _prof
+
+            with _prof.trace(profile_dir):
+                return self._run_dispatch()
+        return self._run_dispatch()
+
+    def _run_dispatch(self) -> SolverResult:
+        o = self.opts
         jit_mode = o.str_("jit_mode")
         fusable = (
             self._fused_mode is not None

@@ -75,9 +75,12 @@ class _StrOption:
     def set(self, v: Any) -> bool:
         if not isinstance(v, str):
             return False
-        v = v.lower()
-        if self.range is not None and v not in self.range:
-            return False
+        # enumerated options match case-insensitively (reference behavior);
+        # free strings (paths: checkpoint_file, profile_dir, ...) keep case
+        if self.range is not None:
+            v = v.lower()
+            if v not in self.range:
+                return False
         self.value = v
         return True
 
@@ -316,6 +319,10 @@ class NlpOptions(OptionsBase):
         ri("ir_inner_maxit", 50, 0, 1000, "max inner IR iterations")
         rs("linsol_mode", "stable", ["stable", "speculative", "forcequick"],
            "stable=safe factorizations; speculative=try fast path w/ fallback; forcequick=fast only")
+        rs("profile_dir", "", None,
+           "when nonempty, wrap the solve in a jax profiler trace written to "
+           "this directory (device-level view on top of the runstats phase "
+           "timers)")
         rs("linear_solver_dense", "auto", ["auto", "ldl_nopiv", "lu_eig"],
            "dense safe-tier KKT solver: ldl_nopiv=on-device blocked no-pivot LDL^T "
            "(MAGMA-Nopiv analogue), lu_eig=host LU + eigen inertia (LAPACK analogue); "

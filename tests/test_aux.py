@@ -141,3 +141,16 @@ def test_execspace_resolution():
     assert info.device is not None and info.device.platform == "cpu"
     o.update(exec_policies="pallas")
     assert ExecSpaceInfo.from_options(o).kernel_backend == "pallas"
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    """profile_dir wraps the solve in a jax profiler trace (SURVEY.md 5.1)."""
+    import examples.dense_ex2 as ex2
+
+    d = str(tmp_path / "Trace_Dir")  # mixed case must survive the option
+    r = ex2.solve(50, verbosity_level=0, profile_dir=d)
+    assert r.status.is_success
+    import os
+    assert os.path.isdir(d)
+    found = any(f for _, _, fs in os.walk(d) for f in fs)
+    assert found, "profiler trace directory is empty"
