@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from hiop_tpu.formulation.dense import NlpDenseConstraints
+from hiop_tpu.formulation.mds import NlpMDS
 from hiop_tpu.interface.base import AutoDiffNlpProblem
 from hiop_tpu.optimization import duals_update as du
 from hiop_tpu.optimization import fused_newton as fn
@@ -119,6 +120,114 @@ class ParametricDenseNlp(NlpDenseConstraints):
         )
 
 
+class _BoundThMds:
+    """Adapter binding a parametric MDS template to th0 for the
+    (non-parametric) formulation finalization calls."""
+
+    jittable = True
+
+    def __init__(self, p, th0):
+        self._pp, self._th0 = p, th0
+
+    def __getattr__(self, k):
+        return getattr(self._pp, k)
+
+    def eval_f(self, z):
+        return self._pp.eval_f(z, self._th0)
+
+    def eval_grad_f(self, z):
+        return self._pp.eval_grad_f(z, self._th0)
+
+    def eval_cons(self, z):
+        return self._pp.eval_cons(z, self._th0)
+
+    def eval_jac_blocks(self, z):
+        return self._pp.eval_jac_blocks(z, self._th0)
+
+    def eval_hess_blocks(self, z, obj_factor, lam):
+        return self._pp.eval_hess_blocks(z, obj_factor, lam, self._th0)
+
+
+class ParametricMdsNlp(NlpMDS):
+    """A family of mixed dense-sparse NLPs indexed by a parameter pytree.
+
+    The template ``problem`` is an :class:`~hiop_tpu.interface.base.MdsProblem`
+    whose evaluation hooks take a trailing scenario parameter:
+    ``eval_f(z, th)``, ``eval_grad_f(z, th)``, ``eval_cons(z, th)``,
+    ``eval_jac_blocks(z, th)``, ``eval_hess_blocks(z, obj_factor, lam, th)``.
+    Sizes, bounds, the sparse-block structure, and the starting-point rule
+    are shared by all members (one static XLA program); ``th0`` is a
+    representative parameter used for finalization. Scaling is disabled
+    (a scale factor would couple the scenarios).
+
+    The batched solve runs the MDS fused whole-solve (diag-sparse
+    elimination + dense Cholesky + Schur Cholesky with the on-device
+    regularization ladder) vmapped over the family — the reference's
+    one-CPU-solve-per-worker pattern (hpc_multisolves.cpp, PriDec workers)
+    as a single device program.
+    """
+
+    parametric = True
+
+    def __init__(self, problem, th0, options: Optional[NlpOptions] = None,
+                 x0_of_th: Optional[Callable] = None):
+        self._p = problem
+        self._x0_of_th = x0_of_th
+        o = options if options is not None else NlpOptions()
+        o.set("scaling_type", "none", mark_user=False)
+        super().__init__(_BoundThMds(problem, th0), o)
+        self.finalize_initialization()
+        self._eq_j = jnp.asarray(self.eq_idx)
+        self._in_j = jnp.asarray(self.ineq_idx)
+
+    # -- parametric eval hooks (signature: +th) -----------------------------
+    def eval_f(self, x, th):
+        return jnp.asarray(self._p.eval_f(x, th))
+
+    def eval_grad_f(self, x, th):
+        return self._p.eval_grad_f(x, th)
+
+    def eval_cons(self, x, th):
+        c_all = self._p.eval_cons(x, th)
+        return c_all[self._eq_j], c_all[self._in_j]
+
+    def eval_jac(self, x, th):
+        sp_vals, dense_blk = self._p.eval_jac_blocks(x, th)
+        sp_vals = jnp.asarray(sp_vals)
+        dense_blk = jnp.asarray(dense_blk)
+        Jc = jnp.zeros((self.m_eq, self.n), x.dtype)
+        Jd = jnp.zeros((self.m_ineq, self.n), x.dtype)
+        if self.m_eq:
+            Jc = Jc.at[self.jac_sp_eq_rows, self.jac_sp_eq_cols].add(
+                sp_vals[self._jac_is_eq]
+            )
+            Jc = Jc.at[:, self.n_sparse:].set(dense_blk[self.eq_idx, :])
+        if self.m_ineq:
+            Jd = Jd.at[self.jac_sp_in_rows, self.jac_sp_in_cols].add(
+                sp_vals[~self._jac_is_eq]
+            )
+            Jd = Jd.at[:, self.n_sparse:].set(dense_blk[self.ineq_idx, :])
+        return Jc, Jd
+
+    def eval_hess_blocks(self, x, obj_factor, yc, yd, th=None):
+        if th is None:
+            return super().eval_hess_blocks(x, obj_factor, yc, yd)
+        lam = jnp.zeros((self.m,), x.dtype)
+        if self.m_eq:
+            lam = lam.at[self.eq_idx].set(yc)
+        if self.m_ineq:
+            lam = lam.at[self.ineq_idx].set(yd)
+        hss, hdd = self._p.eval_hess_blocks(x, obj_factor, lam, th)
+        return jnp.asarray(hss), jnp.asarray(hdd)
+
+    def starting_point(self, th):
+        if self._x0_of_th is not None:
+            return jnp.asarray(self._x0_of_th(th))
+        return jnp.asarray(
+            np.asarray(self.problem.get_starting_point(), np.float64)
+        )
+
+
 class BatchResult(NamedTuple):
     """Per-scenario results; leading axis is the scenario axis."""
 
@@ -142,11 +251,13 @@ _STATUS_MAP = {
 }
 
 
-def build_batched_solve(pnlp: ParametricDenseNlp):
+def build_batched_solve(pnlp):
     """Returns ``batched(params) -> (state, mu, it_num, status, err, hist)``
     with a leading scenario axis on every output: a single jitted XLA
     program solving the whole family. ``params`` is a pytree whose leaves
-    have a leading scenario axis."""
+    have a leading scenario axis. ``pnlp`` is a :class:`ParametricDenseNlp`
+    or :class:`ParametricMdsNlp` (the fused step picks the dense or MDS
+    KKT reduction by formulation type)."""
     o = pnlp.options
     kappa1, kappa2 = o.num("kappa1"), o.num("kappa2")
     lsq_init = o.str_("duals_init") == "lsq"
@@ -221,7 +332,7 @@ def build_batched_solve(pnlp: ParametricDenseNlp):
     return jax.jit(jax.vmap(one))
 
 
-def solve_batched(pnlp: ParametricDenseNlp, params) -> BatchResult:
+def solve_batched(pnlp, params) -> BatchResult:
     """Solve every scenario of the family in ONE XLA program and return
     per-scenario results. ``params``: pytree with a leading scenario axis."""
     batched = getattr(pnlp, "_batched_solve_cache", None)

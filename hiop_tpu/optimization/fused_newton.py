@@ -418,7 +418,10 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         elif is_mds:
             from hiop_tpu.kkt import mds as kkt_mds
 
-            hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
+            if parametric:
+                hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd, th)
+            else:
+                hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
             fct = fact_with_reg(
                 lambda dw, dc: kkt_mds.factorize(
                     hss, Hdd, Dx[:ns], Dx[ns:], Dd,

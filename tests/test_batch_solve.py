@@ -100,3 +100,66 @@ def test_pridec_batched_varied_scenarios():
         gr = ph.eval_grad_rterm(i, x)
         assert abs(float(rvals[i]) - rv) < 1e-6, (i, float(rvals[i]), rv)
         assert np.allclose(np.asarray(grads[i]), gr, atol=1e-5)
+
+
+def test_batched_mds_family_matches_individual():
+    """ParametricMdsNlp: a family of MDS NLPs (MdsEx1 with a per-scenario
+    objective shift) solved by ONE vmapped fused MDS program, cross-checked
+    against individual general-loop solves."""
+    from examples.mds_ex1 import MdsEx1
+    from hiop_tpu import FilterIPMNewton, NlpMDS
+    from hiop_tpu.optimization.batch_solve import ParametricMdsNlp, solve_batched
+
+    ns, nd = 40, 12
+
+    class ShiftedMds(MdsEx1):
+        """Objective x-target shifted by the scalar scenario parameter."""
+
+        def __init__(self, shift=1.0):
+            super().__init__(ns, nd)
+            self.shift = shift
+
+        def eval_f(self, z, th=None):
+            t = self.shift if th is None else th
+            x, s, y = self._split(z)
+            return (
+                0.5 * jnp.sum(x * (x - t))
+                + 0.5 * y @ (self.Qd @ y)
+                + 0.5 * jnp.sum(s * s)
+            )
+
+        def eval_grad_f(self, z, th=None):
+            t = self.shift if th is None else th
+            x, s, y = self._split(z)
+            return jnp.concatenate([x - 0.5 * t, s, self.Qd @ y])
+
+        def eval_cons(self, z, th=None):
+            return super().eval_cons(z)
+
+        def eval_jac_blocks(self, z, th=None):
+            return super().eval_jac_blocks(z)
+
+        def eval_hess_blocks(self, z, obj_factor, lam, th=None):
+            return super().eval_hess_blocks(z, obj_factor, lam)
+
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", verbosity_level=0, tolerance=1e-6,
+        mu0=0.1, duals_init="zero", duals_update_type="linear",
+    )
+    pnlp = ParametricMdsNlp(ShiftedMds(), th0=jnp.asarray(1.0), options=o)
+    shifts = (0.6, 1.0, 1.5)
+    res = solve_batched(pnlp, jnp.asarray(shifts))
+    for k, t in enumerate(shifts):
+        o1 = NlpOptions()
+        o1.update(
+            Hessian="analytical_exact", verbosity_level=0, tolerance=1e-6,
+            mu0=0.1, duals_init="zero", duals_update_type="linear",
+            jit_mode="none", scaling_type="none",
+        )
+        r = FilterIPMNewton(NlpMDS(ShiftedMds(t), o1)).run()
+        assert r.status.is_success
+        # both paths converge to err_nlp <= 1e-6; objective agreement is
+        # bounded by the stopping tolerance, not machine precision
+        assert abs(r.obj - res.obj[k]) < 1e-4 * max(1.0, abs(r.obj))
+        assert np.allclose(np.asarray(res.x[k]), np.asarray(r.x), atol=1e-3)
