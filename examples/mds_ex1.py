@@ -156,7 +156,15 @@ def main(argv=None):
     pos = [a for a in argv if not a.startswith("-")]
     ns = int(pos[0]) if pos else 400
     nd = int(pos[1]) if len(pos) > 1 else 100
-    r = solve(ns, nd)
+    # -pallas: run with the Pallas kernel backend + f32 factorization
+    # (mixed precision) — the role of the reference's RAJA/GPU driver
+    # variant NlpMdsRajaEx1 (src/Drivers/MDS/NlpMdsRajaEx1.hpp)
+    extra = (
+        dict(exec_policies="pallas", kkt_fact_dtype="float32")
+        if "-pallas" in argv
+        else {}
+    )
+    r = solve(ns, nd, **extra)
     print(f"Objective: {r.obj:.12e} status {r.status.name} iters {r.iterations}")
     if "-selfcheck" in argv:
         if not r.status.is_success:

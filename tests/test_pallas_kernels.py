@@ -69,3 +69,19 @@ def test_ldl_backend_dispatch():
         assert np.linalg.norm(np.asarray(M @ x - b)) < 1e-8
     finally:
         set_backend("xla")
+
+
+def test_mds_driver_pallas_exec_policy():
+    """Driver-level exec_policies=pallas run (the reference's RAJA-variant
+    driver role, NlpMdsRajaEx1): mixed-precision f32 factorizations through
+    the Pallas Cholesky (interpret mode on CPU), same converged objective
+    as the default backend within the tolerance."""
+    import examples.mds_ex1 as mx1
+
+    r_pl = mx1.solve(
+        128, 128, verbosity_level=0,
+        exec_policies="pallas", kkt_fact_dtype="float32", jit_mode="none",
+    )
+    r_ref = mx1.solve(128, 128, verbosity_level=0, jit_mode="none")
+    assert r_pl.status.is_success and r_ref.status.is_success
+    assert abs(r_pl.obj - r_ref.obj) < 1e-4 * max(1.0, abs(r_ref.obj))
