@@ -53,3 +53,12 @@ class ExecSpaceInfo:
         if self.device is None:
             return a
         return jax.device_put(a, self.device)
+
+
+def on_accelerator() -> bool:
+    """True when an accelerator (TPU, incl. the axon plugin platform) is
+    among the visible devices — the shared probe for 'does the device tier
+    of a solver ladder / the Pallas kernel path apply here'."""
+    import jax as _jax
+
+    return any(d.platform in ("tpu", "axon") for d in _jax.devices())

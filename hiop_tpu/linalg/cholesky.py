@@ -146,11 +146,14 @@ def cholesky(A: jax.Array) -> jax.Array:
     if (
         _BACKEND == "pallas"
         and n % _BLOCK == 0
-        and n * n <= _MAX_VMEM_ELEMS
+        # both the input and the output whole-matrix buffers are pinned in
+        # VMEM simultaneously -> budget 2x one buffer
+        and 2 * n * n <= _MAX_VMEM_ELEMS
         # Mosaic has no f64 support (TPU f64 is emulated); the Pallas path
         # serves the f32/bf16 mixed-precision factorizations
         and A.dtype in (jnp.float32, jnp.bfloat16)
     ):
-        on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
-        return pallas_cholesky(A, interpret=not on_tpu)
+        from hiop_tpu.backends.execspace import on_accelerator
+
+        return pallas_cholesky(A, interpret=not on_accelerator())
     return jnp.linalg.cholesky(A)

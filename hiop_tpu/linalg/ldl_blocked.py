@@ -111,10 +111,26 @@ def _pad_sym(M, n_p):
     return P.at[idx, idx].set(1.0)
 
 
+def _ldl_panel_math(Akk, Acol, LD, Lk, LDk):
+    """The block-column algebra shared by the XLA loop and the Pallas
+    kernel (only the tile reads/writes differ between them): factor the
+    updated diagonal block and form the scaled trailing panel.
+
+    Returns (Lkk, dk, P) with P = (Acol - LD Lk^T) Lkk^{-T} diag(dk)^{-1}."""
+    dt = Akk.dtype
+    S = Akk - jnp.dot(LDk, Lk.T, preferred_element_type=dt)
+    Lkk, dk = _ldl_diag_block(S)
+    Lkk_inv = _unit_lower_inverse(Lkk)
+    W = Acol - jnp.dot(LD, Lk.T, preferred_element_type=dt)
+    inv_d = jnp.where(jnp.abs(dk) > 0, 1.0 / jnp.where(dk == 0, 1.0, dk), 0.0)
+    P = jnp.dot(W, Lkk_inv.T, preferred_element_type=dt) * inv_d[None, :]
+    return Lkk, dk, P
+
+
 def _block_col_update(A, L, d, k, col_ids_full, row_ids_colblk):
-    """One right-looking block-column step shared by the XLA loop and the
-    Pallas kernel: returns (colblock, dk) for column block k, given the
-    already-factorized columns masked into L (scaled by d)."""
+    """One right-looking block-column step of the XLA path: returns
+    (colblock, dk) for column block k, given the already-factorized
+    columns masked into L (scaled by d)."""
     n_p = A.shape[0]
     B = _BLOCK
     dt = A.dtype
@@ -124,14 +140,8 @@ def _block_col_update(A, L, d, k, col_ids_full, row_ids_colblk):
     Lk = jax.lax.dynamic_slice(Lmask, (kB, 0), (B, n_p))  # (B, n_p)
     LDk = jax.lax.dynamic_slice(LD, (kB, 0), (B, n_p))
     Akk = jax.lax.dynamic_slice(A, (kB, kB), (B, B))
-    S = Akk - jnp.dot(LDk, Lk.T, preferred_element_type=dt)
-    Lkk, dk = _ldl_diag_block(S)
-    Lkk_inv = _unit_lower_inverse(Lkk)
-
     Acol = jax.lax.dynamic_slice(A, (0, kB), (n_p, B))    # (n_p, B)
-    W = Acol - jnp.dot(LD, Lk.T, preferred_element_type=dt)
-    inv_d = jnp.where(jnp.abs(dk) > 0, 1.0 / jnp.where(dk == 0, 1.0, dk), 0.0)
-    P = jnp.dot(W, Lkk_inv.T, preferred_element_type=dt) * inv_d[None, :]
+    Lkk, dk, P = _ldl_panel_math(Akk, Acol, LD, Lk, LDk)
 
     in_block = (row_ids_colblk >= kB) & (row_ids_colblk < kB + B)
     below = row_ids_colblk >= kB + B
@@ -167,14 +177,8 @@ def _ldl_kernel(a_ref, o_ref, d_ref):
         Lk = jnp.where(col_ids_row < kB, o_ref[pl.ds(kB, B), :], 0.0)  # (B, n)
         LDk = Lk * dvec[None, :]
         Akk = o_ref[pl.ds(kB, B), pl.ds(kB, B)]
-        S = Akk - jnp.dot(LDk, Lk.T, preferred_element_type=dt)
-        Lkk, dk = _ldl_diag_block(S)
-        Lkk_inv = _unit_lower_inverse(Lkk)
-
         Acol = o_ref[:, pl.ds(kB, B)]                          # (n, B)
-        W = Acol - jnp.dot(LD, Lk.T, preferred_element_type=dt)
-        inv_d = jnp.where(jnp.abs(dk) > 0, 1.0 / jnp.where(dk == 0, 1.0, dk), 0.0)
-        P = jnp.dot(W, Lkk_inv.T, preferred_element_type=dt) * inv_d[None, :]
+        Lkk, dk, P = _ldl_panel_math(Akk, Acol, LD, Lk, LDk)
 
         below = row_ids_colblk >= kB + B
         o_ref[:, pl.ds(kB, B)] = jnp.where(below, P, 0.0)
@@ -261,12 +265,14 @@ def ldl_factor(M: jax.Array) -> LdlFactors:
     n_p = max(((n + _BLOCK - 1) // _BLOCK) * _BLOCK, _BLOCK)
     if (
         _chol_mod._BACKEND == "pallas"
-        and n_p * n_p <= _MAX_VMEM_ELEMS
+        # input + output matrix buffers both live in VMEM -> budget 2x
+        and 2 * n_p * n_p <= _MAX_VMEM_ELEMS
         # Mosaic has no f64 support; Pallas serves the f32/bf16 tiers
         and M.dtype in (jnp.float32, jnp.bfloat16)
     ):
-        on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
-        return _ldl_factor_impl(M, True, not on_tpu)
+        from hiop_tpu.backends.execspace import on_accelerator
+
+        return _ldl_factor_impl(M, True, not on_accelerator())
     return _ldl_factor_impl(M, False, False)
 
 

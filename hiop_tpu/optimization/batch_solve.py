@@ -271,6 +271,7 @@ def build_batched_solve(pnlp):
         s_theta=a.s_theta, s_phi=a.s_phi, delta=a.delta,
         eta_phi=o.num("eta_phi"), min_step_size=o.num("min_step_size"),
         smax=o.num("smax"),
+        max_soc_iter=o.integer("max_soc_iter"), kappa_soc=o.num("kappa_soc"),
     )
     term = dict(
         eps_tol=o.num("tolerance"), rel_tol=o.num("rel_tolerance"),

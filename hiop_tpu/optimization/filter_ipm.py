@@ -124,10 +124,11 @@ def _dense_safe_tiers(o) -> tuple:
     no-pivot LDL^T (MAGMA-Nopiv analogue) before the host LU + eigen
     inertia (LAPACK analogue); 'auto' skips the device tier on CPU where
     scipy's pivoted LU is both faster and stabler."""
+    from hiop_tpu.backends.execspace import on_accelerator
+
     dense_solver = o.str_("linear_solver_dense")
     if dense_solver == "auto":
-        on_accel = any(d.platform in ("tpu", "axon") for d in jax.devices())
-        return ("ldl_nopiv", "lu_eig") if on_accel else ("lu_eig",)
+        return ("ldl_nopiv", "lu_eig") if on_accelerator() else ("lu_eig",)
     if dense_solver == "ldl_nopiv":
         return ("ldl_nopiv",)
     return ("lu_eig",)
@@ -280,7 +281,13 @@ class _NewtonDenseStrategy:
         """Returns (acceptable, singular)."""
         if self._safe_mode:
             if not bool(f.ok):
-                return False, False
+                # host LU: a non-finite factor means wrong inertia. Device
+                # no-pivot LDL^T: a pivot breakdown is ambiguous between a
+                # singular Jacobian and wrong inertia — route it to the
+                # singularity handler, which bumps delta_c first and falls
+                # through to the delta_w curve on repeats (the reference's
+                # handling of a MAGMA-Nopiv zero pivot).
+                return False, isinstance(f, kkt_nd.DeviceLdlFactors)
             n_neg = int(f.n_neg_eig)
             if n_neg < 0:
                 return False, True
@@ -763,7 +770,12 @@ class _MdsStrategy:
             if self._safe_mode:
                 # inertia-revealing acceptance (hiopFactAcceptorIC)
                 if not bool(f.ok):
-                    acceptable, singular = False, False
+                    # fact None = nonpositive eliminated diagonal block
+                    # (wrong inertia); a device no-pivot LDL^T breakdown is
+                    # ambiguous -> singularity handler (delta_c first,
+                    # delta_w curve on repeats)
+                    acceptable = False
+                    singular = f.fact is not None and not f.host
                 elif int(f.n_neg_eig) < 0:
                     acceptable, singular = False, True
                 elif not self.inertia_free and int(f.n_neg_eig) != f.mc + f.md:
@@ -799,26 +811,27 @@ class _MdsStrategy:
             self._factors = f
             with self.stats.kkt.tm_solve_inner:
                 dx, dd, dyc, dyd = self._solve(f, rx_t, rd_t, ryc, ryd)
-            # curvature (inertia-free) test over the block Hessian; in safe
-            # mode with the inertia acceptor the pivot count already
-            # certified the curvature
+            # curvature (inertia-free) test over the block Hessian; skipped
+            # in safe mode with the inertia acceptor, where the pivot count
+            # already certified the curvature
             ns = self.ns
-            dxs, dxd = dx[:ns], dx[ns:]
-            dWd = float(
-                dxs @ ((d["hss"] + d["Dxs"] + p.delta_wx) * dxs)
-                + dxd @ (d["Hdd"] @ dxd)
-                + dxd @ ((d["Dxd"] + p.delta_wx) * dxd)
-                + dd @ ((d["Dd"] + p.delta_wd) * dd)
-            )
-            nrmsq = float(dx @ dx + dd @ dd)
-            if self._safe_mode and not self.inertia_free:
-                pass
-            elif dWd < nrmsq * self.neg_curv_fact:
-                n_corr += 1
-                self.stats.kkt.n_update_corrections = n_corr
-                if not p.compute_perturb_wrong_inertia():
-                    raise _StepComputationError("MDS curvature regularization exhausted")
-                continue
+            if not (self._safe_mode and not self.inertia_free):
+                dxs, dxd = dx[:ns], dx[ns:]
+                dWd = float(
+                    dxs @ ((d["hss"] + d["Dxs"] + p.delta_wx) * dxs)
+                    + dxd @ (d["Hdd"] @ dxd)
+                    + dxd @ ((d["Dxd"] + p.delta_wx) * dxd)
+                    + dd @ ((d["Dd"] + p.delta_wd) * dd)
+                )
+                nrmsq = float(dx @ dx + dd @ dd)
+                if dWd < nrmsq * self.neg_curv_fact:
+                    n_corr += 1
+                    self.stats.kkt.n_update_corrections = n_corr
+                    if not p.compute_perturb_wrong_inertia():
+                        raise _StepComputationError(
+                            "MDS curvature regularization exhausted"
+                        )
+                    continue
             p.update_fact_ok()
             return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd), True
         raise _StepComputationError("MDS max refactorizations reached")
@@ -1778,6 +1791,8 @@ class FilterIPMBase:
             gamma_phi=self.gamma_phi, s_theta=self.s_theta, s_phi=self.s_phi,
             delta=self.delta, eta_phi=self.eta_phi,
             min_step_size=self.min_step_size, smax=self.smax,
+            max_soc_iter=o.integer("max_soc_iter"),
+            kappa_soc=o.num("kappa_soc"),
         )
         if self._fused_mode == "qn":
             from hiop_tpu.optimization import hessian_lowrank as blr

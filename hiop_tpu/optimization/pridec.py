@@ -167,8 +167,27 @@ class PriDecSolver:
 
             shard_opt = self.opts.str_("shard_scenarios")
             n_dev = len(jax.devices())
-            if shard_opt != "no" and n_dev > 1 and self.S >= n_dev:
-                return self._eval_recourse_sharded(x0)
+            if (
+                shard_opt != "no"
+                and n_dev > 1
+                and self.S >= n_dev
+                and getattr(self, "_shard_ok", True)
+            ):
+                try:
+                    return self._eval_recourse_sharded(x0)
+                except Exception as e:
+                    if shard_opt == "yes":
+                        raise
+                    # auto: the user's eval_rterms_batched is not
+                    # jax-traceable (e.g. wraps numpy or nested solves) —
+                    # fall back to the single-dispatch batched path
+                    self._shard_ok = False
+                    self._shard_eval = None
+                    self.log.printf(
+                        Verbosity.SCALARS,
+                        "scenario sharding disabled (eval_rterms_batched "
+                        "not traceable: %s)", type(e).__name__,
+                    )
             rvals, grads = self.prob.eval_rterms_batched(np.arange(self.S), x0)
             rvals = np.asarray(rvals, dtype=np.float64)
             grads = np.asarray(grads, dtype=np.float64)

@@ -135,3 +135,20 @@ def test_pridec_sharded_full_solve():
     r = solver.run()
     assert r.status.is_success
     assert abs(r.obj - (0.5 * 32 * 10 + 0.5 * 10)) < 1e-5
+
+
+def test_pridec_sharded_auto_falls_back_for_untraceable_batched():
+    """A batched=True problem whose eval_rterms_batched is NOT jax-traceable
+    (PriDecEx2Batched runs nested numpy solves) must fall back to the
+    single-dispatch path under shard_scenarios=auto instead of crashing,
+    even when S >= n_devices (regression: TracerArrayConversionError)."""
+    import examples.pridec_ex2 as px2
+
+    solver = px2.solve(6, 3, 16, batched=True, verbosity_level=0)
+    r = solver.run()
+    assert r.status.is_success
+    # the unsharded batched reference
+    solver2 = px2.solve(6, 3, 16, batched=True, verbosity_level=0,
+                        shard_scenarios="no")
+    r2 = solver2.run()
+    assert abs(r.obj - r2.obj) < 1e-8 * max(1.0, abs(r2.obj))
