@@ -1088,27 +1088,12 @@ class FilterIPMBase:
         it_curr = it_mod.determine_slacks(it_curr, b)
         # warm start: user-provided primal-dual point (hiopInterface
         # get_warmstart_point; option warm_start)
-        warm = None
-        if o.str_("warm_start") == "yes":
-            warm = nlp.problem.get_warmstart_point()
-        if warm is not None:
-            wx, wzl, wzu, wyc, wyd, wd, wvl, wvu = (
-                jnp.asarray(a) if a is not None else None for a in warm
-            )
-            x0, d0 = it_mod.starting_point_primal(
-                wx, wd if wd is not None else d0, b, self.kappa1, self.kappa2
-            )
-            f, c, d_eval = self._eval_f_cons(x0)
-            it_curr = it_curr._replace(
-                x=x0, d=d0,
-                zl=jnp.where(b.ixl == 1.0, jnp.maximum(wzl, 1e-12), 0.0),
-                zu=jnp.where(b.ixu == 1.0, jnp.maximum(wzu, 1e-12), 0.0),
-                vl=jnp.where(b.idl == 1.0, jnp.maximum(wvl, 1e-12), 0.0) if wvl is not None else it_curr.vl,
-                vu=jnp.where(b.idu == 1.0, jnp.maximum(wvu, 1e-12), 0.0) if wvu is not None else it_curr.vu,
-                yc=wyc if wyc is not None else it_curr.yc,
-                yd=wyd if wyd is not None else it_curr.yd,
-            )
-            it_curr = it_mod.determine_slacks(it_curr, b)
+        it_curr, x0, d0, fcd, warm_used = self._apply_warm_start(
+            it_curr, x0, d0, b
+        )
+        if fcd is not None:
+            f, c, d_eval = fcd
+        warm = warm_used or None
         grad_f = nlp.eval_grad_f(x0)
         Jc, Jd = nlp.eval_jac(x0)
         if warm is None and o.str_("duals_init") == "lsq":
@@ -1714,7 +1699,6 @@ class FilterIPMBase:
             self._fused_mode is not None
             and jit_mode in ("iteration", "solve")
             and getattr(self.nlp.problem, "jittable", False)
-            and o.str_("warm_start") == "no"
             and (self._fused_mode == "qn" or o.str_("KKTLinsys") in ("auto", "xdycyd"))
             and not getattr(self.nlp, "matrix_free", False)
             # per-iteration host-side debug/IO surfaces need the general loop
@@ -1749,6 +1733,36 @@ class FilterIPMBase:
         cb = getattr(type(self.nlp.problem), "iterate_callback", None)
         return cb is not None and cb is not NlpProblem.iterate_callback
 
+    def _apply_warm_start(self, it_curr, x0, d0, b):
+        """User warm-start primal-dual point (startingProcedure warm path,
+        hiopAlgFilterIPM.cpp:290+): project the user's point into the
+        bounds, take its bound duals (floored away from zero) and
+        constraint duals. Returns (it_curr, x0, d0, (f, c, d_eval) | None,
+        warm_used); shared by the general and fused starting procedures."""
+        if self.opts.str_("warm_start") != "yes":
+            return it_curr, x0, d0, None, False
+        warm = self.nlp.problem.get_warmstart_point()
+        if warm is None:
+            return it_curr, x0, d0, None, False
+        wx, wzl, wzu, wyc, wyd, wd, wvl, wvu = (
+            jnp.asarray(a) if a is not None else None for a in warm
+        )
+        x0, d0 = it_mod.starting_point_primal(
+            wx, wd if wd is not None else d0, b, self.kappa1, self.kappa2
+        )
+        f, c, d_eval = self._eval_f_cons(x0)
+        it_curr = it_curr._replace(
+            x=x0, d=d0,
+            zl=jnp.where(b.ixl == 1.0, jnp.maximum(wzl, 1e-12), 0.0),
+            zu=jnp.where(b.ixu == 1.0, jnp.maximum(wzu, 1e-12), 0.0),
+            vl=jnp.where(b.idl == 1.0, jnp.maximum(wvl, 1e-12), 0.0) if wvl is not None else it_curr.vl,
+            vu=jnp.where(b.idu == 1.0, jnp.maximum(wvu, 1e-12), 0.0) if wvu is not None else it_curr.vu,
+            yc=wyc if wyc is not None else it_curr.yc,
+            yd=wyd if wyd is not None else it_curr.yd,
+        )
+        it_curr = it_mod.determine_slacks(it_curr, b)
+        return it_curr, x0, d0, (f, c, d_eval), True
+
     def _fused_init(self):
         """Shared starting procedure for the fused paths: scaling setup,
         primal/slack initialization, LSQ duals, theta_min/max, the
@@ -1758,7 +1772,6 @@ class FilterIPMBase:
         nlp = self.nlp
         b: Bounds = nlp.bounds
         o = self.opts
-        # minimal starting procedure (no warm start in fused mode)
         x_user = nlp.get_starting_point()
         nlp.maybe_setup_scaling(x_user)
         f0, c0, d0_eval = self._eval_f_cons(x_user)
@@ -1773,9 +1786,14 @@ class FilterIPMBase:
             zl=b.ixl * 1.0, zu=b.ixu * 1.0, vl=b.idl * 1.0, vu=b.idu * 1.0,
         )
         it_curr = it_mod.determine_slacks(it_curr, b)
+        it_curr, x0, d0, fcd, warm_used = self._apply_warm_start(
+            it_curr, x0, d0, b
+        )
+        if fcd is not None:
+            f, c, d_eval = fcd
         grad_f = nlp.eval_grad_f(x0)
         Jc, Jd = nlp.eval_jac(x0)
-        if o.str_("duals_init") == "lsq":
+        if not warm_used and o.str_("duals_init") == "lsq":
             yc, yd = du.initial_duals_lsq(
                 Jc, Jd, grad_f, it_curr.zl, it_curr.zu, it_curr.vl, it_curr.vu,
                 o.num("duals_lsq_ini_max"),
