@@ -87,3 +87,101 @@ def test_random_qp_quasinewton_agrees_with_newton(seed):
     r_nt = FilterIPMNewton(NlpDenseConstraints(p, o2)).run()
     assert r_qn.status.is_success and r_nt.status.is_success
     assert abs(r_qn.obj - r_nt.obj) < 1e-6 * (1 + abs(r_nt.obj))
+
+
+def _random_mds_qp(seed, ns=10, nd=6, m=4):
+    """Random MDS QP: diagonal sparse-block Hessian, PD dense block, a
+    random sparse-triplet Jacobian + dense block. Returns (MdsProblem,
+    equivalent flat AutoDiffNlpProblem)."""
+    from hiop_tpu.interface.base import MdsProblem
+
+    rng = np.random.default_rng(1000 + seed)
+    hss = rng.uniform(0.5, 2.0, ns)
+    G = rng.standard_normal((nd, nd))
+    Hdd = G @ G.T / nd + np.eye(nd)
+    qs = rng.standard_normal(ns)
+    qd = rng.standard_normal(nd)
+    # 3 sparse entries per constraint row
+    jr = np.repeat(np.arange(m), 3)
+    jc = rng.integers(0, ns, 3 * m)
+    jv = rng.standard_normal(3 * m)
+    Jd_blk = rng.standard_normal((m, nd))
+    cl = np.where(rng.random(m) < 0.4, rng.uniform(-1, 0, m), -INF)
+    cu = rng.uniform(0.2, 1.5, m)
+    xl = np.concatenate([np.full(ns, -3.0), np.full(nd, -INF)])
+    xu = np.concatenate([np.full(ns, 3.0), np.full(nd, INF)])
+    x0 = np.zeros(ns + nd)
+    hss_j, Hdd_j = jnp.asarray(hss), jnp.asarray(Hdd)
+    qs_j, qd_j = jnp.asarray(qs), jnp.asarray(qd)
+    jv_j, Jd_j = jnp.asarray(jv), jnp.asarray(Jd_blk)
+
+    def f(z):
+        xs, xd = z[:ns], z[ns:]
+        return (
+            0.5 * jnp.sum(hss_j * xs * xs) + qs_j @ xs
+            + 0.5 * xd @ (Hdd_j @ xd) + qd_j @ xd
+        )
+
+    def cons(z):
+        xs, xd = z[:ns], z[ns:]
+        c = jnp.zeros((m,), z.dtype)
+        c = c.at[jr].add(jv_j * xs[jc])
+        return c + Jd_j @ xd
+
+    class _RandMds(MdsProblem):
+        jittable = True
+
+        def get_prob_sizes(self):
+            return ns + nd, m
+
+        def get_sparse_dense_blocks_info(self):
+            return ns, nd
+
+        def get_vars_info(self):
+            return xl, xu
+
+        def get_cons_info(self):
+            return cl, cu
+
+        def get_starting_point(self):
+            return x0
+
+        def eval_f(self, z):
+            return f(z)
+
+        def eval_grad_f(self, z):
+            xs, xd = z[:ns], z[ns:]
+            return jnp.concatenate([hss_j * xs + qs_j, Hdd_j @ xd + qd_j])
+
+        def eval_cons(self, z):
+            return cons(z)
+
+        def jac_sparse_structure(self):
+            return jr, jc
+
+        def eval_jac_blocks(self, z):
+            return jv_j, Jd_j
+
+        def eval_hess_blocks(self, z, obj_factor, lam):
+            return obj_factor * hss_j, obj_factor * Hdd_j
+
+    flat = AutoDiffNlpProblem(f=f, c=cons, xl=xl, xu=xu, cl=cl, cu=cu, x0=x0)
+    return _RandMds(), flat
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_mds_qp_matches_dense_path(seed):
+    """The MDS KKT reduction (diag elimination + two Cholesky) agrees with
+    the generic dense Newton path on random MDS QPs."""
+    from hiop_tpu import NlpMDS
+
+    mds_p, flat_p = _random_mds_qp(seed)
+    o1 = NlpOptions()
+    o1.update(Hessian="analytical_exact", verbosity_level=0, jit_mode="none")
+    r_mds = FilterIPMNewton(NlpMDS(mds_p, o1)).run()
+    o2 = NlpOptions()
+    o2.update(Hessian="analytical_exact", verbosity_level=0)
+    r_flat = FilterIPMNewton(NlpDenseConstraints(flat_p, o2)).run()
+    assert r_mds.status.is_success and r_flat.status.is_success
+    assert abs(r_mds.obj - r_flat.obj) < 1e-6 * max(1.0, abs(r_flat.obj))
+    assert np.allclose(np.asarray(r_mds.x), np.asarray(r_flat.x), atol=1e-5)
