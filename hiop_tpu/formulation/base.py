@@ -248,9 +248,23 @@ class NlpFormulation:
         return self.scale_obj * g
 
     def eval_cons(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (c_eq, d_ineq), scaled."""
+        """Returns (c_eq, d_ineq), scaled.
+
+        Tries the user's two-call convention first (one evaluation per
+        eq/ineq subset, hiopInterface.hpp:303-366); a ``NotImplemented``
+        return falls back to the one-call convention with the internal
+        eq/ineq split (hiopNlpFormulation.hpp:389-401)."""
         self.runstats.n_eval_cons += 1
         with self.runstats.tm_eval_cons:
+            subset = getattr(self.problem, "eval_cons_subset", None)
+            c_eq = subset(x, self.eq_idx) if subset is not None else NotImplemented
+            if c_eq is not NotImplemented:
+                c_in = self.problem.eval_cons_subset(x, self.ineq_idx)
+                sc = jnp.asarray(self._scale_cons)
+                return (
+                    jnp.asarray(c_eq).reshape(self.m_eq) * sc[self.eq_idx],
+                    jnp.asarray(c_in).reshape(self.m_ineq) * sc[self.ineq_idx],
+                )
             c_all = jnp.asarray(self.problem.eval_cons(x))
         c_all = c_all * jnp.asarray(self._scale_cons)
         return c_all[self.eq_idx], c_all[self.ineq_idx]

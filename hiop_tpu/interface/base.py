@@ -101,6 +101,25 @@ class NlpProblem:
     def eval_cons(self, x):
         raise NotImplementedError
 
+    def eval_cons_subset(self, x, idx_cons):
+        """Two-call constraint evaluation (optional).
+
+        The reference's ``eval_cons`` has two conventions
+        (hiopInterface.hpp:303-366): a *two-call* form that evaluates only
+        the constraint subset ``idx_cons`` (the formulation calls it once
+        with the equality indexes and once with the inequality indexes) and
+        a *one-call* form evaluating the whole constraint body.  There a
+        user signals "not implemented" by returning ``false`` and HiOp
+        falls back to the other convention
+        (hiopNlpFormulation.hpp:389-401's internal buffers).
+
+        Override this to opt into the two-call convention; return the
+        values of constraints ``idx_cons`` (in that order) at ``x``.  The
+        default returns :data:`NotImplemented`, which makes the
+        formulation use the one-call :meth:`eval_cons`.
+        """
+        return NotImplemented
+
     # -- distribution -------------------------------------------------------
     def get_vecdistrib_info(self, global_n: int):
         """Sharding hint for the variable axis; None = replicate/auto."""

@@ -80,3 +80,35 @@ def test_dense_ex2_selfcheck_5000():
     assert r.status.is_success
     ref, tol = ex2.SELFCHECK[5000]
     assert _rel(r.obj, ref) <= tol
+
+
+def test_two_call_constraint_convention():
+    """The reference's two-call eval_cons (per-eq/ineq-subset evaluation,
+    hiopInterface.hpp:303-366) must produce the same solve as the one-call
+    convention: same objective and same iteration count."""
+    import jax.numpy as jnp
+
+    from hiop_tpu import FilterIPMQuasiNewton, NlpDenseConstraints, NlpOptions
+
+    class TwoCallEx1(ex1.DenseConsEx1):
+        one_call_used = False
+
+        def eval_cons(self, x):
+            # two-call users never get the one-call form invoked
+            type(self).one_call_used = True
+            return super().eval_cons(x)
+
+        def eval_cons_subset(self, x, idx_cons):
+            c_all = jnp.sum(self.mass * x)[None]
+            return c_all[jnp.asarray(np.asarray(idx_cons, dtype=int))]
+
+    o = NlpOptions()
+    o.update(verbosity_level=0)
+    r2 = FilterIPMQuasiNewton(NlpDenseConstraints(TwoCallEx1(300), o)).run()
+    assert not TwoCallEx1.one_call_used
+    o1 = NlpOptions()
+    o1.update(verbosity_level=0)
+    r1 = FilterIPMQuasiNewton(NlpDenseConstraints(ex1.DenseConsEx1(300), o1)).run()
+    assert r2.status.is_success
+    assert r2.iterations == r1.iterations
+    assert _rel(r2.obj, r1.obj) <= 1e-12
