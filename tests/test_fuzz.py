@@ -185,3 +185,138 @@ def test_random_mds_qp_matches_dense_path(seed):
     assert r_mds.status.is_success and r_flat.status.is_success
     assert abs(r_mds.obj - r_flat.obj) < 1e-6 * max(1.0, abs(r_flat.obj))
     assert np.allclose(np.asarray(r_mds.x), np.asarray(r_flat.x), atol=1e-5)
+
+
+def _random_sparse_qp(seed, n=14, m_eq=2, m_ineq=5, diag_hess=False):
+    """Random sparse convex QP posed as a SparseProblem (triplet structure)
+    plus its dense AutoDiffNlpProblem twin. Hessian is diagonally dominant
+    (PD); a random interior point makes the constraint set feasible."""
+    from hiop_tpu import SparseProblem
+
+    rng = np.random.default_rng(seed)
+    m = m_eq + m_ineq
+    # upper-triangle Hessian triplets: full diagonal + sprinkled off-diag
+    diag = rng.uniform(1.0, 3.0, n)
+    n_off = 0 if diag_hess else 2 * n
+    oi = rng.integers(0, n - 1, n_off)
+    oj = (oi + 1 + rng.integers(0, np.maximum(n - oi - 1, 1))).clip(max=n - 1)
+    ov = rng.uniform(-0.25, 0.25, n_off)
+    hr = np.concatenate([np.arange(n), oi])
+    hc = np.concatenate([np.arange(n), oj])
+    hv = np.concatenate([diag, ov])
+    Hd = np.zeros((n, n))
+    Hd[hr, hc] += hv
+    Hd[hc, hr] += hv
+    Hd[np.arange(n), np.arange(n)] /= 2.0
+    Hd = (Hd + Hd.T) / 2.0
+    q = rng.standard_normal(n)
+    # sparse Jacobian: 3 nnz per row
+    jr = np.repeat(np.arange(m), 3)
+    jc = np.concatenate([rng.choice(n, 3, replace=False) for _ in range(m)])
+    jv = rng.standard_normal(3 * m)
+    Ad = np.zeros((m, n))
+    np.add.at(Ad, (jr, jc), jv)
+    x_feas = rng.uniform(-0.5, 0.5, n)
+    ax = Ad @ x_feas
+    cl = np.where(np.arange(m) < m_eq, ax, ax - rng.uniform(0.2, 1.0, m))
+    cu = np.where(np.arange(m) < m_eq, ax, ax + rng.uniform(0.2, 1.0, m))
+    xl = x_feas - rng.uniform(0.5, 2.0, n)
+    xu = x_feas + rng.uniform(0.5, 2.0, n)
+    Hj, qj, Aj = jnp.asarray(Hd), jnp.asarray(q), jnp.asarray(Ad)
+
+    class _RandSparse(SparseProblem):
+        jittable = True
+        jac_constant = True
+
+        def get_prob_sizes(self):
+            return n, m
+
+        def get_vars_info(self):
+            return xl, xu
+
+        def get_cons_info(self):
+            return cl, cu
+
+        def get_starting_point(self):
+            return np.clip(np.zeros(n), xl, xu)
+
+        def get_sparse_blocks_info(self):
+            return n, jr.size, hr.size
+
+        def jac_structure(self):
+            return jr, jc
+
+        def eval_jac_vals(self, x):
+            return jnp.asarray(jv)
+
+        def hess_structure(self):
+            return hr, hc
+
+        def eval_hess_vals(self, x, obj_factor, lam):
+            return obj_factor * jnp.asarray(hv)
+
+        def eval_f(self, x):
+            return 0.5 * x @ (Hj @ x) + qj @ x
+
+        def eval_grad_f(self, x):
+            return Hj @ x + qj
+
+        def eval_cons(self, x):
+            return Aj @ x
+
+    twin = AutoDiffNlpProblem(
+        f=lambda x: 0.5 * x @ (Hj @ x) + qj @ x,
+        c=lambda x: Aj @ x,
+        xl=xl, xu=xu, cl=cl, cu=cu,
+        x0=np.clip(np.zeros(n), xl, xu),
+    )
+    return _RandSparse(), twin
+
+
+@pytest.mark.parametrize("seed", [30, 31, 32])
+def test_random_sparse_qp_across_kkt_variants(seed):
+    """Random sparse QPs: every sparse KKT realization (dense-assembled
+    XDYcYd, host splu, native LDL^T, unreduced full-space) agrees with the
+    dense autodiff Newton path (reference tier-3 equivalence strategy)."""
+    from hiop_tpu import FilterIPMNewton as Newton
+    from hiop_tpu import NlpSparse
+
+    sp, twin = _random_sparse_qp(seed)
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", verbosity_level=0)
+    ref = Newton(NlpDenseConstraints(twin, o)).run()
+    assert ref.status.is_success
+    variants = [
+        {},
+        {"linear_solver_sparse": "splu"},
+        {"linear_solver_sparse": "native_ldl"},
+        {"KKTLinsys": "full"},
+    ]
+    for extra in variants:
+        sp_i, _ = _random_sparse_qp(seed)
+        oi = NlpOptions()
+        oi.update(Hessian="analytical_exact", verbosity_level=0, **extra)
+        r = Newton(NlpSparse(sp_i, oi)).run()
+        assert r.status.is_success, extra
+        assert abs(r.obj - ref.obj) < 1e-6 * (1 + abs(ref.obj)), extra
+
+
+@pytest.mark.parametrize("seed", [40, 41])
+def test_random_sparse_ineq_qp_condensed_and_normaleqn(seed):
+    """Inequality-only diagonal-Hessian QPs: the condensed SPD and
+    normal-equations KKT classes agree with the dense path."""
+    from hiop_tpu import FilterIPMNewton as Newton
+    from hiop_tpu import NlpSparse
+
+    _, twin = _random_sparse_qp(seed, m_eq=0, diag_hess=True)
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", verbosity_level=0)
+    ref = Newton(NlpDenseConstraints(twin, o)).run()
+    assert ref.status.is_success
+    for extra in ({"KKTLinsys": "condensed"}, {"KKTLinsys": "normaleqn"}):
+        sp_i, _ = _random_sparse_qp(seed, m_eq=0, diag_hess=True)
+        oi = NlpOptions()
+        oi.update(Hessian="analytical_exact", verbosity_level=0, **extra)
+        r = Newton(NlpSparse(sp_i, oi)).run()
+        assert r.status.is_success, extra
+        assert abs(r.obj - ref.obj) < 1e-5 * (1 + abs(ref.obj)), extra
