@@ -1529,7 +1529,11 @@ class FilterIPMBase:
         """Explicit checkpoint API (hiopAlgFilterIPM.hpp:399-421)."""
         from hiop_tpu.utils import checkpoint as ckpt
 
-        ckpt.save_state(path, self._collect_checkpoint(it_curr, mu, strategy))
+        ckpt.save_state(
+            path,
+            self._collect_checkpoint(it_curr, mu, strategy),
+            fmt=self.opts.str_("checkpoint_format"),
+        )
 
     def save_checkpoint(self, path: str) -> None:
         """Checkpoint the in-flight state; callable from an iterate callback

@@ -26,7 +26,15 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
-def save_state(path: str, state: Dict[str, Any]) -> None:
+def save_state(path: str, state: Dict[str, Any], fmt: str = "npz") -> None:
+    """Write a checkpoint. ``fmt='npz'`` is a single portable file;
+    ``fmt='orbax'`` writes an orbax PyTree checkpoint directory — the
+    TPU-native analogue of the reference's axom::sidre::IOManager scalable
+    parallel IO (SidreHelper.hpp:73): sharded/async-capable, one tensorstore
+    entry per array."""
+    if fmt == "orbax":
+        _save_orbax(path, state)
+        return
     arrays = {}
     meta_keys = {}
     for k, v in state.items():
@@ -45,7 +53,56 @@ def save_state(path: str, state: Dict[str, Any]) -> None:
     os.replace(tmp, path)
 
 
+def _save_orbax(path: str, state: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    tree: Dict[str, Any] = {"format_version": FORMAT_VERSION}
+    for k, v in state.items():
+        if v is None:
+            continue
+        if k == "filter_entries":
+            v = np.asarray(v, dtype=np.float64).reshape(-1, 2)
+        a = np.asarray(v)
+        if a.ndim > 0 and a.size == 0:
+            # orbax/tensorstore cannot store zero-size arrays; record the
+            # shape+dtype so load reconstructs the empty array
+            tree[f"__empty__{k}__{a.dtype.str}"] = np.asarray(a.shape, dtype=np.int64)
+        else:
+            tree[k] = v
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def _load_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    if int(tree.get("format_version", -1)) != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format {tree.get('format_version')} != {FORMAT_VERSION}"
+        )
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        if k == "format_version":
+            continue
+        if k.startswith("__empty__"):
+            name, _, dtypestr = k[len("__empty__"):].rpartition("__")
+            out[name] = np.zeros(tuple(int(s) for s in np.asarray(v)), dtype=np.dtype(dtypestr))
+            continue
+        if k == "filter_entries":
+            out[k] = [tuple(row) for row in np.asarray(v)]
+        elif isinstance(v, np.ndarray) and v.ndim == 0:
+            out[k] = v.item()
+        else:
+            out[k] = v
+    return out
+
+
 def load_state(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        return _load_orbax(path)
     with np.load(path, allow_pickle=False) as z:
         if int(z["format_version"]) != FORMAT_VERSION:
             raise ValueError(

@@ -369,6 +369,13 @@ class NlpOptions(OptionsBase):
         ri("checkpoint_save_every_N_iter", 10, 1, int(1e6), "checkpoint frequency")
         rs("checkpoint_file", "hiop_state_chk", None, "checkpoint path")
         rs("checkpoint_load_on_start", "no", ["yes", "no"], "resume from checkpoint_file")
+        rs(
+            "checkpoint_format",
+            "npz",
+            ["npz", "orbax"],
+            "npz: single portable file; orbax: sharded tensorstore directory "
+            "(the axom/sidre scalable-IO analogue)",
+        )
         # --- TPU-native additions ------------------------------------------
         rs("kkt_fact_dtype", "float64", ["float32", "float64"],
            "dtype of the KKT factorization; float32 pairs with f64 iterative refinement")

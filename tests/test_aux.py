@@ -154,3 +154,38 @@ def test_profile_dir_writes_trace(tmp_path):
     assert os.path.isdir(d)
     found = any(f for _, _, fs in os.walk(d) for f in fs)
     assert found, "profiler trace directory is empty"
+
+
+def test_checkpoint_orbax_roundtrip_and_resume():
+    """checkpoint_format=orbax: the sidre-IOManager analogue (sharded
+    tensorstore directory) round-trips and resumes the solver."""
+    pytest.importorskip("orbax.checkpoint")
+    state = {
+        "n": 5, "m_eq": 1, "m_ineq": 2, "mu": 0.1, "iter_num": 7,
+        "theta_max": 10.0, "theta_min": 1e-4,
+        "filter_entries": [(1.0, 2.0), (0.5, 3.0)],
+        "it_x": np.arange(5.0),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "chk_orbax")
+        ckpt.save_state(path, state, fmt="orbax")
+        assert os.path.isdir(path)
+        loaded = ckpt.load_state(path)
+        assert loaded["iter_num"] == 7
+        assert np.allclose(loaded["it_x"], np.arange(5.0))
+        assert loaded["filter_entries"] == [(1.0, 2.0), (0.5, 3.0)]
+        ckpt.validate(loaded, 5, 1, 2)
+
+        # solver roundtrip through the orbax directory format
+        path2 = os.path.join(d, "state_orbax")
+        ex1.solve(
+            200, verbosity_level=0, max_iter=5,
+            checkpoint_save="yes", checkpoint_save_every_N_iter=2,
+            checkpoint_file=path2, checkpoint_format="orbax",
+        )
+        assert os.path.isdir(path2)
+        r2 = ex1.solve(
+            200, verbosity_level=0,
+            checkpoint_load_on_start="yes", checkpoint_file=path2,
+        )
+        assert r2.status.is_success
