@@ -62,9 +62,14 @@ class PriDecProblem:
         x: np.ndarray,
         include_r: bool,
         evaluator: Optional[RecourseApproxEvaluator] = None,
+        options_file: str = "",
     ) -> Tuple[np.ndarray, float]:
         """Solve the basecase (+ optional quadratic recourse model); returns
-        (x_opt, obj)."""
+        (x_opt, obj). ``options_file`` forwards the PriDec option
+        ``options_file_master_prob`` (the reference passes it as the last
+        argument of ``solve_master``, hiopAlgPrimalDecomp.cpp:880) so the
+        user's master NLP can load its own option file; implementations may
+        omit the parameter and it will not be passed."""
         raise NotImplementedError
 
     def eval_f_rterm(self, idx: int, x: np.ndarray) -> float:

@@ -26,6 +26,30 @@ def _tree_dot_device(a, b):
     return sum(leaves)
 
 
+@jax.jit
+def _mass_dots_dev(V, w):
+    """Dots of w against every basis vector in the tuple V — one program,
+    one device sync (the reference's ``mass_inner_product`` kernels,
+    ReSolve/KrylovSolverKernels.cu)."""
+    return jnp.stack([_tree_dot_device(v, w) for v in V])
+
+
+@jax.jit
+def _mass_dots2_dev(V, a, b):
+    """V^T [a, b] in one fused program (mass_inner_product_two_vectors)."""
+    da = jnp.stack([_tree_dot_device(v, a) for v in V])
+    db = jnp.stack([_tree_dot_device(v, b) for v in V])
+    return da, db
+
+
+@jax.jit
+def _mass_axpy_dev(V, coefs, w):
+    """w - sum_j coefs[j] * V[j] as one fused program (mass_axpy)."""
+    for j, v in enumerate(V):
+        w = jax.tree.map(lambda wv, vv: wv - coefs[j] * vv, w, v)
+    return w
+
+
 def tree_dot(a, b):
     return float(_tree_dot_device(a, b))
 
@@ -157,6 +181,65 @@ def bicgstab(
     return x, KrylovInfo(r_norm <= stop, it, r_norm)
 
 
+def _gs_orthogonalize(V, w, scheme: str, Lmat):
+    """Orthogonalize w against the Krylov basis V (list of pytrees) with the
+    requested Gram-Schmidt scheme; returns (hcol, hnorm, v_next_or_None).
+
+    Parity with ReSolve's ``GramSchmidt`` (IterativeRefinement.cpp:435-773),
+    option ``ir_inner_gs_scheme`` (hiopOptions.cpp:1042-1049):
+
+    * ``mgs`` — textbook modified Gram-Schmidt: j+1 sequential dots, each a
+      device sync (the default; most robust, most synchronizations).
+    * ``cgs2`` — reorthogonalized classical GS: two batched V^T w products
+      (three syncs counting the norm), H = h1 + h2.
+    * ``mgs_two_synch`` — one batched V^T [v_j, w] product accumulating the
+      lower-triangular correction matrix L (L[i,:] = V^T v_i), then the
+      host-side unit-lower-triangular solve h = (I + L_strict)^{-1} rv.
+    * ``mgs_pm`` — "post-modern" MGS: the two-synch h plus the second-order
+      correction h -= (I + L_strict)^{-1} (L_strict^T h).
+
+    On TPU each sync is a host<->device round trip over the transfer link,
+    so the low-synch schemes matter more than on the reference's GPUs.
+    """
+    import numpy as np
+
+    j = len(V) - 1
+    if scheme == "mgs":
+        hcol = np.zeros(j + 1)
+        for i in range(j + 1):
+            hcol[i] = tree_dot(w, V[i])
+            w = tree_axpy(-hcol[i], V[i], w)
+    elif scheme == "cgs2":
+        h1 = np.asarray(_mass_dots_dev(tuple(V), w))
+        w = _mass_axpy_dev(tuple(V), jnp.asarray(h1), w)
+        h2 = np.asarray(_mass_dots_dev(tuple(V), w))
+        w = _mass_axpy_dev(tuple(V), jnp.asarray(h2), w)
+        hcol = h1 + h2
+    elif scheme in ("mgs_two_synch", "mgs_pm"):
+        lrow, rv = _mass_dots2_dev(tuple(V), V[j], w)
+        Lmat[j, : j + 1] = np.asarray(lrow)
+        rv = np.asarray(rv)
+        # unit-lower-triangular solve (I + L_strict) h = rv
+        hcol = np.zeros(j + 1)
+        for i in range(j + 1):
+            hcol[i] = rv[i] - Lmat[i, :i] @ hcol[:i]
+        if scheme == "mgs_pm":
+            # second-order correction: aux = (I+L)^{-1} (L^T h); h -= aux
+            rv2 = np.zeros(j + 1)
+            for i in range(j + 1):
+                rv2[i] = Lmat[i + 1 : j + 1, i] @ hcol[i + 1 : j + 1]
+            aux = np.zeros(j + 1)
+            for i in range(j + 1):
+                aux[i] = rv2[i] - Lmat[i, :i] @ aux[:i]
+            hcol -= aux
+        w = _mass_axpy_dev(tuple(V), jnp.asarray(hcol), w)
+    else:
+        raise ValueError(f"unknown gs_scheme '{scheme}'")
+    hnorm = tree_norm(w)
+    v_next = tree_scale(1.0 / hnorm, w) if hnorm > 0 else None
+    return hcol, hnorm, v_next
+
+
 def fgmres(
     matvec: Callable,
     rhs,
@@ -165,13 +248,15 @@ def fgmres(
     tol: float = 1e-12,
     restart: int = 20,
     maxit: int = 100,
+    gs_scheme: str = "mgs",
 ):
     """Flexible GMRES with restart (right preconditioning that may change
     between iterations). Parity with the reference's ReSolve iterative
     refinement (/root/reference/src/LinAlg/ReSolve/IterativeRefinement.hpp:25,
     FGMRES over the GPU-refactorized LU): here it refines low-precision
     factorization solves — the f32 factors act as the preconditioner, the
-    matvec runs in f64. Returns (x, info)."""
+    matvec runs in f64. ``gs_scheme`` selects the orthogonalization
+    (option ``ir_inner_gs_scheme``). Returns (x, info)."""
     import numpy as np
 
     x = x0 if x0 is not None else tree_zeros_like(rhs)
@@ -189,6 +274,7 @@ def fgmres(
         V = [tree_scale(1.0 / beta, r)]
         Z = []
         H = np.zeros((m + 1, m))
+        Lmat = np.zeros((m + 1, m + 1))
         cs = np.zeros(m)
         sn = np.zeros(m)
         g = np.zeros(m + 1)
@@ -198,13 +284,11 @@ def fgmres(
             z = M_inv(V[j]) if M_inv is not None else V[j]
             Z.append(z)
             w = matvec(z)
-            # modified Gram-Schmidt
-            for i in range(j + 1):
-                H[i, j] = tree_dot(w, V[i])
-                w = tree_axpy(-H[i, j], V[i], w)
-            H[j + 1, j] = tree_norm(w)
-            if H[j + 1, j] > 0:
-                V.append(tree_scale(1.0 / H[j + 1, j], w))
+            hcol, hnorm, v_next = _gs_orthogonalize(V, w, gs_scheme, Lmat)
+            H[: j + 1, j] = hcol
+            H[j + 1, j] = hnorm
+            if v_next is not None:
+                V.append(v_next)
             # apply accumulated Givens rotations to the new column
             for i in range(j):
                 t = cs[i] * H[i, j] + sn[i] * H[i + 1, j]

@@ -417,6 +417,7 @@ class _NewtonDenseStrategy:
         refined, info = krylov.fgmres(
             matvec, rhs4, M_inv=precond, x0=sol4, tol=tol,
             restart=o.integer("ir_inner_restart"), maxit=maxit,
+            gs_scheme=o.str_("ir_inner_gs_scheme"),
         )
         self.stats.kkt.n_iter_refin_inner += info.iters
         return refined if info.converged or info.iters > 0 else sol4

@@ -147,6 +147,23 @@ class PriDecSolver:
         self.alpha_ratio = 1.0
         self.iter_ = 0
         self.obj_ = float("nan")
+        # forward options_file_master_prob iff the user's solve_master takes
+        # it (the reference passes it unconditionally, cpp:880; here older
+        # implementations without the parameter keep working)
+        import inspect
+
+        try:
+            params = inspect.signature(problem.solve_master).parameters
+            accepts = "options_file" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            accepts = False
+        self._master_kw = (
+            {"options_file": self.opts.str_("options_file_master_prob")}
+            if accepts
+            else {}
+        )
 
     def _eval_recourse(self, x0: np.ndarray):
         """Evaluate all recourse terms; returns (rval_mean, grad_mean).
@@ -276,7 +293,7 @@ class PriDecSolver:
         for it in range(max_iter):
             self.iter_ = it
             if it == 0:
-                x, obj = self.prob.solve_master(x, include_r=False)
+                x, obj = self.prob.solve_master(x, include_r=False, **self._master_kw)
                 x = np.asarray(x, dtype=np.float64)
                 base_val = base_valm1 = float(obj)
 
@@ -306,7 +323,9 @@ class PriDecSolver:
                 hess_diag=np.full(self.nc, alpha),
             )
             self.prob.set_recourse_approx_evaluator(evaluator)
-            x_new, obj = self.prob.solve_master(x, include_r=True, evaluator=evaluator)
+            x_new, obj = self.prob.solve_master(
+                x, include_r=True, evaluator=evaluator, **self._master_kw
+            )
             x_new = np.asarray(x_new, dtype=np.float64)
             self.obj_ = float(obj)
             dinf = float(np.max(np.abs(x_new[self.xc_idx] - x0))) if self.nc else 0.0

@@ -317,6 +317,28 @@ class NlpOptions(OptionsBase):
         ri("ir_inner_conv_cond", 0, 0, 2, "convergence condition for inner IR")
         rn("ir_inner_tol_factor", 1e-2, 1e-20, 1.0, "inner IR tol = factor*mu")
         ri("ir_inner_maxit", 50, 0, 1000, "max inner IR iterations")
+        rs("ir_inner_gs_scheme", "mgs",
+           ["mgs", "cgs2", "mgs_two_synch", "mgs_pm"],
+           "Gram-Schmidt orthogonalization for the inner FGMRES "
+           "(hiopOptions.cpp:1042): mgs=modified GS (one device sync per "
+           "basis vector); cgs2=reorthogonalized classical GS (3 syncs); "
+           "mgs_two_synch/mgs_pm=low-synch MGS with a triangular correction "
+           "(2 syncs) — fewer host<->TPU round trips per Krylov iteration")
+        # reference backend sub-options accepted for option-file compatibility;
+        # ensure_consistence demotes them onto the TPU-native solver set
+        rs("resolve_factorization", "klu", None,
+           "accepted for hiop option-file compatibility (ReSolve CUDA backend "
+           "sub-option); the TPU build's equivalent is kkt_fact_dtype=float32 "
+           "+ ir_inner_* FGMRES refinement")
+        rs("resolve_refactorization", "glu", None,
+           "accepted for hiop option-file compatibility (ReSolve CUDA backend "
+           "sub-option); see resolve_factorization")
+        rs("ginkgo_exec", "reference", None,
+           "accepted for hiop option-file compatibility (Ginkgo executor); "
+           "device placement here is governed by compute_mode/mem_space")
+        rs("ginkgo_trisolve", "sparselib", None,
+           "accepted for hiop option-file compatibility (Ginkgo triangular "
+           "solve algorithm)")
         rs("linsol_mode", "stable", ["stable", "speculative", "forcequick"],
            "stable=safe factorizations; speculative=try fast path w/ fallback; forcequick=fast only")
         rs("profile_dir", "", None,

@@ -301,3 +301,49 @@ def test_mixed_precision_inner_ir_refines_to_selfcheck(monkeypatch):
     ref, tol = sx1.SELFCHECK[50]
     assert _rel(r.obj, ref) <= tol
     assert calls["n"] > 0, "inner FGMRES IR was never invoked"
+
+
+@pytest.mark.parametrize("scheme", ["mgs", "cgs2", "mgs_two_synch", "mgs_pm"])
+def test_fgmres_gs_schemes_equivalent(scheme):
+    """All four ir_inner_gs_scheme orthogonalizations (ReSolve
+    IterativeRefinement::GramSchmidt, IterativeRefinement.cpp:435-773)
+    solve to the same tolerance; the low-synch variants must keep the
+    Krylov basis orthonormal enough to converge on an ill-conditioned
+    system."""
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.standard_normal((40, 40)))
+    # condition number ~1e6 to stress the orthogonalization
+    A = jnp.asarray(Q @ np.diag(np.logspace(0, 6, 40)) @ Q.T)
+    x_true = jnp.asarray(rng.standard_normal(40))
+    b = A @ x_true
+    x, info = krylov.fgmres(
+        lambda v: A @ v, b, tol=1e-12, restart=40, maxit=200, gs_scheme=scheme
+    )
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-5)
+
+
+def test_fgmres_gs_scheme_basis_orthonormality():
+    """Directly verify the low-synch schemes produce an orthonormal basis
+    (V^T V ~ I) by spying on the final Krylov subspace via a full-restart
+    run on a moderately conditioned system."""
+    rng = np.random.default_rng(8)
+    A = rng.standard_normal((30, 30)) + 30 * np.eye(30)
+    Aj = jnp.asarray(A)
+    b = jnp.asarray(rng.standard_normal(30))
+    for scheme in ("cgs2", "mgs_two_synch", "mgs_pm"):
+        V = []
+        Lmat = np.zeros((31, 31))
+        r = b / float(jnp.linalg.norm(b))
+        V.append(r)
+        for _ in range(10):
+            w = Aj @ V[-1]
+            _, hnorm, v_next = krylov._gs_orthogonalize(V, w, scheme, Lmat)
+            assert v_next is not None and hnorm > 0
+            V.append(v_next)
+        Vm = np.stack([np.asarray(v) for v in V], axis=1)
+        G = Vm.T @ Vm
+        # one-pass two-synch MGS loses O(kappa*eps) orthogonality; cgs2 and
+        # the post-modern correction restore it to machine precision
+        atol = 1e-6 if scheme == "mgs_two_synch" else 1e-12
+        assert np.allclose(G, np.eye(G.shape[0]), atol=atol), scheme

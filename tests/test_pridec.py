@@ -152,3 +152,31 @@ def test_pridec_sharded_auto_falls_back_for_untraceable_batched():
                         shard_scenarios="no")
     r2 = solver2.run()
     assert abs(r.obj - r2.obj) < 1e-8 * max(1.0, abs(r2.obj))
+
+
+def test_solve_master_receives_options_file(tmp_path):
+    """options_file_master_prob is forwarded into solve_master when the
+    implementation accepts it (hiopAlgPrimalDecomp.cpp:880), and omitted
+    for implementations without the parameter."""
+    from hiop_tpu.optimization.pridec import PriDecSolver
+    from hiop_tpu.utils.options import PriDecOptions
+    from examples.pridec_ex1 import PriDecEx1
+
+    seen = []
+
+    class Ex1WithFile(PriDecEx1):
+        def solve_master(self, x, include_r, evaluator=None, options_file=""):
+            seen.append(options_file)
+            return super().solve_master(x, include_r, evaluator=evaluator)
+
+    o = PriDecOptions()
+    o.update(verbosity_level=0, max_iter=3)
+    o.set("options_file_master_prob", "my_master.options")
+    PriDecSolver(Ex1WithFile(12), o).run()
+    assert seen and all(f == "my_master.options" for f in seen)
+
+    # legacy signature (no options_file) keeps working
+    o2 = PriDecOptions()
+    o2.update(verbosity_level=0, max_iter=3)
+    r = PriDecSolver(PriDecEx1(12), o2).run()
+    assert r.iterations >= 1
