@@ -124,8 +124,17 @@ def factorize_safe(
     dt = Hdd.dtype
 
     ks = hss + Dxs + delta_wx
-    ok_ks = bool(jnp.all(ks > 0))
-    ks_inv = jnp.where(ks > 0, 1.0 / jnp.maximum(ks, 1e-300), 0.0)
+    # an INDEFINITE diagonal sparse block is eliminated exactly with its
+    # signed inverse; by Haynsworth inertia additivity its negative entries
+    # count toward the system's negative eigenvalues (the reference counts
+    # them with numOfElemsLessThan and only treats NULL entries as a
+    # breakdown, hiopKKTLinSysMDS.cpp:85-96) — requiring ks > 0 here would
+    # force delta_wx >= |min ks| and re-create the quick tier's chronic
+    # over-regularization on structurally indefinite problems
+    tol_ks = 1e-14
+    n_zero_ks = int(jnp.sum(jnp.abs(ks) <= tol_ks))
+    n_neg_ks = int(jnp.sum(ks < -tol_ks))
+    ks_inv = jnp.where(jnp.abs(ks) > tol_ks, 1.0 / jnp.where(ks == 0, 1.0, ks), 0.0)
     Js = jnp.concatenate([Jc_s, Jd_s], axis=0)
     Jdn = jnp.concatenate([Jc_d, Jd_d], axis=0)
     dd_tot = Dd + delta_wd
@@ -137,9 +146,9 @@ def factorize_safe(
     )
     M = jnp.block([[Kd, Jdn.T], [Jdn, -C]])
 
-    if not ok_ks:
-        # the eliminated diagonal block has nonpositive pivots: wrong
-        # inertia regardless of the saddle factorization
+    if n_zero_ks > 0:
+        # null eigenvalues in the (1,1) sparse block: singular
+        # (n_neg_eig_11 = -1 in the reference, hiopKKTLinSysMDS.cpp:93-96)
         return MdsSafeFactors(
             None, host, ks_inv, Js, dd_tot, nd, mc, md, -1, False
         )
@@ -151,12 +160,13 @@ def factorize_safe(
 
         ok = bool(_np.all(_np.isfinite(lu)))
         return MdsSafeFactors(
-            (lu, piv), True, ks_inv, Js, dd_tot, nd, mc, md, int(n_neg), ok
+            (lu, piv), True, ks_inv, Js, dd_tot, nd, mc, md,
+            int(n_neg) + n_neg_ks if n_neg >= 0 else -1, ok
         )
     from hiop_tpu.linalg import ldl_blocked as _ldl
 
     f = _ldl.ldl_factor(M)
-    n_neg = int(f.n_neg) if bool(f.ok) else -1
+    n_neg = int(f.n_neg) + n_neg_ks if bool(f.ok) else -1
     return MdsSafeFactors(
         f, False, ks_inv, Js, dd_tot, nd, mc, md, n_neg, bool(f.ok)
     )

@@ -202,7 +202,18 @@ def _lu_with_inertia(M, delta_cc):
     w = _np.linalg.eigvalsh(0.5 * (Mh + Mh.T))
     tol = 1e1 * _np.finfo(Mh.dtype).eps * max(float(_np.max(_np.abs(w))), 1.0)
     if delta_cc > 0.0:
-        n_neg_eig = int(_np.sum(w < 0.0))
+        # delta_cc > 0 makes the matrix nonsingular in exact arithmetic, but
+        # the dual-regularized eigenvalues sit at -delta_cc, usually BELOW
+        # the eig noise floor tol ~ eps*||M|| (with barrier diagonals ~1/mu
+        # the floor easily exceeds Ipopt's delta_c ~ 1e-9; an MA57-class
+        # solver resolves these from its pivot signs instead). Attribute
+        # noise-band eigenvalues to the negative count: if they are the
+        # -delta_cc ones the inertia comes out right and the factorization
+        # is accepted; if they are a near-singular Hessian block the count
+        # exceeds mc+md and the caller bumps delta_w — the right response
+        # either way. (Counting them positive made rank-deficient problems
+        # bump delta_w forever: MDS Ex2 -rankdefic regression.)
+        n_neg_eig = int(_np.sum(w < tol))
     else:
         n_neg = int(_np.sum(w < -tol))
         n_zero = int(_np.sum(_np.abs(w) <= tol))

@@ -118,6 +118,48 @@ class _LowRankStrategy:
         return res_mod.recover_direction(resid, it, b, dx, dd, dyc, dyd)
 
 
+def _maybe_escalate_chronic(strategy, can_escalate: bool) -> None:
+    """Escalate a KKT strategy to its next safe tier when the current tier
+    only passes its acceptance checks with a persistent primal
+    regularization.
+
+    The quick Cholesky-based tiers (dense Cholesky-Schur, MDS
+    diag-elimination + Cholesky) require the FULL-space Hessian block
+    H + Dx + delta_w I to be positive definite — a strictly stronger
+    condition than the correct inertia criterion (reduced Hessian PD on the
+    constraint nullspace, hiopKKTLinSys.hpp:204). On structurally
+    indefinite problems (e.g. the ACOPF-class driver, whose bilinear
+    power-balance auxiliaries carry +/-lambda/2 diagonal curvature) a quick
+    tier then 'succeeds' with delta_w = O(1) at EVERY iteration, turning
+    Newton into a damped-gradient creep (measured: 1074 vs 57 IPM
+    iterations on examples/acopf_mds.py). An inertia-revealing safe tier
+    accepts delta_w ~ 0 whenever the true reduced Hessian is PD, so chronic
+    regularization is the escalation signal — this extends the reference's
+    switch_to_safer_KKT trigger (hiopAlgFilterIPM.hpp:468), which only
+    fires on outright factorization failure. Called at the top of each
+    iteration's prepare(), while the previous iteration's deltas are still
+    live."""
+    if strategy.perturb.delta_wx > 0.0:
+        strategy._chronic_delta += 1
+    else:
+        strategy._chronic_delta = 0
+    if (
+        strategy._chronic_delta >= 4
+        and can_escalate
+        and strategy._safe_mode < len(strategy._safe_tiers)
+        and strategy.linsol_mode != "forcequick"
+    ):
+        strategy._safe_mode += 1
+        strategy._chronic_delta = 0
+        strategy.log.printf(
+            Verbosity.SCALARS,
+            "KKT: chronic regularization (delta_w=%.2e for 4 iters); "
+            "switching to inertia-revealing safe mode (%s)",
+            strategy.perturb.delta_wx,
+            strategy._safe_tiers[strategy._safe_mode - 1],
+        )
+
+
 def _dense_safe_tiers(o) -> tuple:
     """Safe-mode escalation ladder for dense symmetric-indefinite KKT
     factorizations, from the linear_solver_dense option: the on-device
@@ -191,8 +233,10 @@ class _NewtonDenseStrategy:
         # linear_solver_dense option pins a single tier.
         self._safe_mode = 0  # index into (quick,) + _safe_tiers
         self._safe_tiers = _dense_safe_tiers(o)
+        self._chronic_delta = 0
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        _maybe_escalate_chronic(self, self.kkt_kind == "xdycyd")
         with self.stats.kkt.tm_update_init:
             self._H = self.nlp.eval_hess(it.x, 1.0, it.yc, it.yd)
             self._Dx, self._Dd = res_mod.barrier_diagonals(it, b)
@@ -569,13 +613,46 @@ class _SparseDirectStrategy:
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
         self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
-        self.kkt = SparseXDYcYdKKT(nlp, o.str_("linear_solver_sparse"))
+        self._solver_name = o.str_("linear_solver_sparse")
+        self.kkt = SparseXDYcYdKKT(nlp, self._solver_name)
         self._mu = 1.0
         self._state = None
+        self._chronic_delta = 0
+
+    def _maybe_switch_to_inertia_backend(self) -> None:
+        """Chronic-regularization escalation for the sparse-direct path:
+        an LU backend has no inertia, so acceptance is the curvature test,
+        which (like the dense quick tier, see _maybe_escalate_chronic)
+        over-regularizes structurally indefinite problems. After 4
+        consecutive regularized iterations, rebuild on the pivot-sign
+        inertia backend (native_ldl, the MA57 role) so delta_w can return
+        to ~0 whenever the true reduced Hessian is PD."""
+        from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
+        from hiop_tpu.linalg import solver_registry
+
+        if self.perturb.delta_wx > 0.0:
+            self._chronic_delta += 1
+        else:
+            self._chronic_delta = 0
+        if (
+            self._chronic_delta >= 4
+            and self._solver_name != "native_ldl"
+            and solver_registry.has_solver("native_ldl")
+        ):
+            self._solver_name = "native_ldl"
+            self.kkt = SparseXDYcYdKKT(self.nlp, "native_ldl")
+            self._chronic_delta = 0
+            self.log.printf(
+                Verbosity.SCALARS,
+                "sparse KKT: chronic regularization (delta_w=%.2e for 4 "
+                "iters); switching to the pivot-sign inertia backend "
+                "(native_ldl)", self.perturb.delta_wx,
+            )
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
         import numpy as np
 
+        self._maybe_switch_to_inertia_backend()
         with self.stats.kkt.tm_update_init:
             nlp = self.nlp
             if hasattr(Jc, "vals"):
@@ -698,6 +775,7 @@ class _MdsStrategy:
         # escalation, hiopKKTLinSysMDS.cpp:437-477)
         self._safe_mode = 0
         self._safe_tiers = _dense_safe_tiers(o)
+        self._chronic_delta = 0
 
     @property
     def fact_dtype(self):
@@ -710,6 +788,7 @@ class _MdsStrategy:
         return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        _maybe_escalate_chronic(self, True)
         ns = self.ns
         with self.stats.kkt.tm_update_init:
             hss, Hdd = self.nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)

@@ -1,0 +1,97 @@
+"""ACOPF-class driver tests: the north-star MDS shape (BASELINE.json) plus
+the chronic-regularization escalation it motivated."""
+
+import numpy as np
+import pytest
+
+import examples.acopf_mds as am
+from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions, NlpSparse
+
+
+def _rel(a, b):
+    return abs(a - b) / max(1.0, abs(b))
+
+
+def test_acopf_derivatives_consistent_with_ad():
+    """Analytic triplet Jacobian/diagonal Hessian match autodiff of the
+    eval functions (guards the diagonalized-reformulation algebra)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = am.AcopfSparse(8)
+    n, m = p.get_prob_sizes()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(n) * 0.3 + 1.0)
+    lam = jnp.asarray(rng.standard_normal(m))
+    J_ad = np.asarray(jax.jacfwd(p.eval_cons)(x))
+    jr, jc = p.jac_structure()
+    J_an = np.zeros((m, n))
+    np.add.at(J_an, (np.asarray(jr), np.asarray(jc)), np.asarray(p.eval_jac_vals(x)))
+    assert np.abs(J_an - J_ad).max() < 1e-12
+    H_ad = np.asarray(jax.hessian(lambda z: p.eval_f(z) + lam @ p.eval_cons(z))(x))
+    hr, hc = p.hess_structure()
+    H_an = np.zeros((n, n))
+    np.add.at(H_an, (np.asarray(hr), np.asarray(hc)),
+              np.asarray(p.eval_hess_vals(x, 1.0, lam)))
+    H_full = H_an + H_an.T - np.diag(np.diag(H_an))
+    assert np.abs(H_full - H_ad).max() < 1e-12
+
+
+def test_acopf_mds_vs_sparse_cross_check():
+    """The MDS and fully-sparse formulations of the same grid agree (the
+    reference's MDS-vs-dense iteration-equivalence technique)."""
+    r_mds = am.solve(16, sparse=False, verbosity_level=0)
+    r_sp = am.solve(16, sparse=True, verbosity_level=0)
+    assert r_mds.status.is_success and r_sp.status.is_success
+    assert _rel(r_mds.obj, r_sp.obj) < 1e-7
+
+
+def test_acopf_selfcheck_objective():
+    ref, tol = am.SELFCHECK[32]
+    r = am.solve(32, verbosity_level=0)
+    assert r.status.is_success
+    assert _rel(r.obj, ref) < tol
+    # the structurally indefinite Hessian must NOT force hundreds of
+    # damped-gradient iterations (1074 before the chronic-regularization
+    # escalation + Haynsworth MDS inertia fixes)
+    assert r.iterations < 120
+
+
+def test_chronic_regularization_escalates_to_safe_tier():
+    """A quick tier that only passes with persistent delta_w hands over to
+    the inertia-revealing safe tier after a few iterations."""
+    import hiop_tpu.optimization.filter_ipm as fi
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+             mu0=0.1, verbosity_level=0, max_iter=300)
+    nlp = NlpMDS(am.AcopfMds(16), o)
+    solver = FilterIPMNewton(nlp)
+    r = solver.run()
+    assert r.status.is_success
+    assert r.iterations < 120
+
+
+def test_chronic_escalation_respects_forcequick():
+    """linsol_mode=forcequick pins the quick tier (reference semantics), so
+    the solver keeps the Cholesky path and pays the damped iterations."""
+    import hiop_tpu.optimization.filter_ipm as fi
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+             mu0=0.1, verbosity_level=0, max_iter=30, linsol_mode="forcequick")
+    nlp = NlpSparse(am.AcopfSparse(16), o)
+    strat_holder = {}
+    orig = fi.FilterIPMNewton._make_strategy
+
+    def spy(self):
+        s = orig(self)
+        strat_holder["s"] = s
+        return s
+
+    fi.FilterIPMNewton._make_strategy = spy
+    try:
+        FilterIPMNewton(nlp).run()
+    finally:
+        fi.FilterIPMNewton._make_strategy = orig
+    assert strat_holder["s"]._safe_mode == 0
