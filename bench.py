@@ -96,6 +96,48 @@ def _bench_fused_mds_solve():
     return dt, dt / max(r.iterations, 1), r.iterations, obj_ok
 
 
+def _bench_acopf():
+    """Per-iteration MDS KKT core (quick tier: diag elimination + dense
+    Cholesky + Schur Cholesky + solve) on the ACOPF-class driver problem
+    (examples/acopf_mds.py) at B=512 buses: n_sparse=5120, n_dense=102,
+    m=4608 equalities — the literal north-star shape from BASELINE.json."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from examples.acopf_mds import AcopfMds
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    p = AcopfMds(512)
+    c = p.core
+    n_sp, nd, m = p.n_sp, p.nd, p.m
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.concatenate([c.start_sparse(), c.start_dense()]))
+    lam = jnp.asarray(rng.standard_normal(m) * 0.1)
+    sv, dense = p.eval_jac_blocks(x)
+    J = jnp.zeros((m, n_sp)).at[c._jr, c._jc].set(sv)
+    hss, Hdd = p.eval_hess_blocks(x, 1.0, lam)
+    Dx = jnp.asarray(rng.uniform(0.1, 1.0, n_sp + nd))
+    Dd = jnp.zeros((0,))
+    rxs = jnp.asarray(rng.standard_normal(n_sp))
+    rxd = jnp.asarray(rng.standard_normal(nd))
+    ryc = jnp.asarray(rng.standard_normal(m))
+    rd_t = jnp.zeros((0,))
+    Jc_s, Jc_d = J, dense
+    Jd_s, Jd_d = J[:0], dense[:0]
+
+    def step(hss, Hdd, Dxs, Dxd, Jc_s, Jc_d, rxs, rxd, ryc):
+        f = kkt_mds.factorize(
+            hss + 1e-2, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
+            0.0, 0.0, 0.0, 0.0,
+        )
+        return kkt_mds.solve(f, rxs, rxd, rd_t, ryc, jnp.zeros((0,)))
+
+    args = (hss, Hdd, Dx[:n_sp], Dx[n_sp:], Jc_s, Jc_d, rxs, rxd, ryc)
+    dt = _measure(jax.jit(step), args, iters=10)
+    return dt, (n_sp, nd, m)
+
+
 def _bench_qn_large():
     """QN iteration core at the largest n this environment compiles (the
     reference's headline is n=33.5M at 0.259 s/iter on 288 cores; this
@@ -123,6 +165,10 @@ def main():
     dt_qn, n_qn = _bench_qn_large()
     dt_mds, mds_shape = _bench_mds() if time.time() - _T0 < _TIME_BUDGET_S else (None, None)
     try:
+        acopf = _bench_acopf() if time.time() - _T0 < _TIME_BUDGET_S else None
+    except Exception:
+        acopf = None
+    try:
         fused = _bench_fused_mds_solve() if time.time() - _T0 < _TIME_BUDGET_S else None
     except Exception:
         fused = None
@@ -135,6 +181,13 @@ def main():
         if dt_qn is not None
         else ""
     )
+    acopf_note = ""
+    if acopf is not None and acopf[0] is not None:
+        a_dt, (a_n, a_nd, a_m) = acopf
+        acopf_note = (
+            f"; ACOPF-class MDS KKT core (B=512 buses: {a_n} sparse + "
+            f"{a_nd} dense vars, m={a_m}): {a_dt*1e3:.2f} ms/iter"
+        )
     fused_note = ""
     if fused is not None:
         f_solve, f_iter, f_n, f_ok = fused
@@ -153,7 +206,7 @@ def main():
                     "value": round(1.0 / dt_mds, 3),
                     "unit": (
                         f"iters/s synced (ns={2*ns} sparse + nd={nd} dense vars, "
-                        f"m={me+mi}, {dt_mds*1e3:.2f} ms/iter{qn_note}{fused_note})"
+                        f"m={me+mi}, {dt_mds*1e3:.2f} ms/iter{qn_note}{acopf_note}{fused_note})"
                     ),
                     "vs_baseline": round(0.259 / dt_mds, 3),
                 }

@@ -379,6 +379,12 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         # report fact_ok=False and the host fall back. For MDS formulations
         # the sparse-diagonal elimination + dense-block Cholesky (kkt/mds.py)
         # replaces the dense quick path.
+        # Caveat: Cholesky acceptance requires FULL-space PD, so on
+        # structurally indefinite problems (see examples/acopf_mds.py) the
+        # ladder converges with delta_w = O(1) every iteration and the solve
+        # creeps; the host-loop strategies detect this and escalate to an
+        # inertia-revealing tier (_maybe_escalate_chronic, filter_ipm.py) —
+        # for such problems use the default jit_mode=kernels.
         delta0 = consts.get("delta_0_bar", 1e-4)
         kappa_plus = consts.get("kappa_w_plus_bar", 100.0)
         delta_c_bar = consts.get("delta_c_bar", 1e-8)
