@@ -23,7 +23,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 _T0 = time.time()
-_TIME_BUDGET_S = 420.0  # skip secondary measurements when compiles eat the budget
+_TIME_BUDGET_S = 540.0  # skip secondary measurements when compiles eat the budget
 
 
 def _measure(jitted, args, iters):
@@ -126,16 +126,31 @@ def _bench_acopf():
     Jc_s, Jc_d = J, dense
     Jd_s, Jd_d = J[:0], dense[:0]
 
-    def step(hss, Hdd, Dxs, Dxd, Jc_s, Jc_d, rxs, rxd, ryc):
-        f = kkt_mds.factorize(
-            hss + 1e-2, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
-            0.0, 0.0, 0.0, 0.0,
-        )
-        return kkt_mds.solve(f, rxs, rxd, rd_t, ryc, jnp.zeros((0,)))
+    # triplet-Schur pairs (the addMDinv* kernel analogue): all rows are
+    # equalities here, so the stacked row order is the triplet row order
+    pairs = kkt_mds.build_schur_pairs(c._jr, c._jc, n_sp)
 
-    args = (hss, Hdd, Dx[:n_sp], Dx[n_sp:], Jc_s, Jc_d, rxs, rxd, ryc)
-    dt = _measure(jax.jit(step), args, iters=10)
-    return dt, (n_sp, nd, m)
+    def step(hss, Hdd, Dxs, Dxd, Dd_, Jc_s, Jc_d, rxs, rxd, ryc, js_vals):
+        f = kkt_mds.factorize(
+            hss + 1e-2, Hdd, Dxs, Dxd, Dd_, Jc_s, Jc_d,
+            Jc_s[:0], Jc_d[:0], 0.0, 0.0, 0.0, 0.0,
+            js_vals=js_vals, js_pairs=pairs,
+        )
+        z = jnp.zeros((0,), f.Ld.dtype)
+        return kkt_mds.solve(f, rxs, rxd, z, ryc, z)
+
+    del Jd_s, Jd_d, rd_t
+    args64 = (hss, Hdd, Dx[:n_sp], Dx[n_sp:], Dd, Jc_s, Jc_d, rxs, rxd, ryc,
+              jnp.asarray(sv))
+    jit_step = jax.jit(step)
+    dt64 = _measure(jit_step, args64, iters=10)
+    # mixed-precision production path (kkt_fact_dtype=float32 + FGMRES IR):
+    # the f32 factorize is what runs on the MXU while mu >= 1e-4
+    args32 = tuple(
+        a.astype(jnp.float32) if hasattr(a, "astype") else a for a in args64
+    )
+    dt32 = _measure(jit_step, args32, iters=10)
+    return (dt64, dt32), (n_sp, nd, m)
 
 
 def _bench_qn_large():
@@ -183,10 +198,12 @@ def main():
     )
     acopf_note = ""
     if acopf is not None and acopf[0] is not None:
-        a_dt, (a_n, a_nd, a_m) = acopf
+        (a_dt64, a_dt32), (a_n, a_nd, a_m) = acopf
         acopf_note = (
             f"; ACOPF-class MDS KKT core (B=512 buses: {a_n} sparse + "
-            f"{a_nd} dense vars, m={a_m}): {a_dt*1e3:.2f} ms/iter"
+            f"{a_nd} dense vars, m={a_m}, triplet Schur): "
+            f"{a_dt64*1e3:.1f} ms/iter f64, {a_dt32*1e3:.1f} ms/iter f32 "
+            f"(the kkt_fact_dtype=float32 mixed-precision path)"
         )
     fused_note = ""
     if fused is not None:

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -46,10 +48,69 @@ class MdsFactors(NamedTuple):
     ok: jax.Array
 
 
-@jax.jit
-def factorize(
+def build_schur_pairs(stacked_rows, cols, n_s, max_pairs=8_000_000):
+    """Precompute (once per problem) the index arrays driving
+    :func:`schur_js_triplets`: all ordered pairs of sparse-Jacobian
+    nonzeros sharing a column, with their stacked row coordinates.
+    ``stacked_rows`` must follow the [eq; m_eq + ineq] row order of the
+    Js = [Jc_s; Jd_s] concatenation. Returns None (dense fallback) when
+    the pair count exceeds ``max_pairs`` or the structure holds duplicate
+    (row, col) entries (the dense materialization sums duplicates, which
+    the pairwise products would overcount)."""
+    import numpy as np
+
+    stacked_rows = np.asarray(stacked_rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    nnz = cols.size
+    if nnz == 0:
+        return None
+    m_span = int(stacked_rows.max()) + 1
+    if np.unique(stacked_rows * n_s + cols).size != nnz:
+        return None
+    order = np.argsort(cols, kind="stable")
+    counts = np.bincount(cols, minlength=n_s)
+    n_pairs = int(np.sum(counts.astype(np.int64) ** 2))
+    if n_pairs == 0 or n_pairs > max_pairs:
+        return None
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pa_parts, pb_parts = [], []
+    for c in np.nonzero(counts)[0]:
+        idx = order[starts[c]:starts[c + 1]]
+        d = idx.size
+        pa_parts.append(np.repeat(idx, d))
+        pb_parts.append(np.tile(idx, d))
+    pa = np.concatenate(pa_parts)
+    pb = np.concatenate(pb_parts)
+    pvar = cols[pa]
+    prow = stacked_rows[pa]
+    pcol = stacked_rows[pb]
+    del m_span
+    return tuple(
+        jnp.asarray(x.astype(np.int32)) for x in (pa, pb, pvar, prow, pcol)
+    )
+
+
+@partial(jax.jit, static_argnames=("m",))
+def schur_js_triplets(js_vals, ks_inv, pairs, m: int):
+    """Js Ks^{-1} Js^T assembled from the sparse-block TRIPLETS: for every
+    pair of nonzeros (a, b) sharing a column c,
+    S[row_a, row_b] += v_a * v_b * ks_inv[c] — one fused gather-multiply +
+    1D scatter-add, O(sum_c deg_c^2) work instead of the dense
+    (m, n_s) @ (n_s, m) product (2.4e11 FLOPs -> ~5e5 updates on the
+    B=512 ACOPF driver). This is the reference's triplet Schur kernel
+    family (addMDinvMtransToDiagBlockOfSymDeMatUTri etc.,
+    hiopMatrixSparseTriplet.hpp / hiopKKTLinSysMDS.cpp:172-276) realized
+    as an XLA scatter instead of a hand-written CUDA kernel."""
+    pa, pb, pvar, prow, pcol = pairs
+    prod = js_vals[pa] * js_vals[pb] * ks_inv[pvar]
+    flat = jnp.zeros((m * m,), js_vals.dtype).at[prow * m + pcol].add(prod)
+    return flat.reshape(m, m)
+
+
+def _factorize_core(
     hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
     delta_wx, delta_wd, delta_cc, delta_cd,
+    js_vals=None, js_pairs=None,
 ):
     nd = Hdd.shape[0]
     mc, md = Jc_s.shape[0], Jd_s.shape[0]
@@ -71,7 +132,11 @@ def factorize(
     dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
 
     KdinvJT = jax.scipy.linalg.cho_solve((Ld_safe, True), Jdn.T)   # (n_d, m)
-    S = (Js * ks_inv) @ Js.T + Jdn @ KdinvJT + jnp.diag(
+    if js_pairs is not None:
+        JKJt = schur_js_triplets(js_vals, ks_inv, js_pairs, mc + md)
+    else:
+        JKJt = (Js * ks_inv) @ Js.T
+    S = JKJt + Jdn @ KdinvJT + jnp.diag(
         jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
     )
     Ls = _chol(S)
@@ -85,6 +150,12 @@ def factorize(
     ok = ok_k & ok_s
     Ls_safe = jnp.where(ok_s, Ls, jnp.eye(mc + md, dtype=dt))
     return MdsFactors(ks_inv, Ld_safe, Ls_safe, Js, Jdn, dd_tot, ok_k, ok_s, ok)
+
+
+#: js_vals (optional) follows the [eq; ineq] stacked row order and
+#: js_pairs = (pair_a, pair_b, pair_var, pair_row, pair_col) int32 arrays
+#: select the triplet-Schur assembly (schur_js_triplets)
+factorize = jax.jit(_factorize_core)
 
 
 class MdsSafeFactors(NamedTuple):

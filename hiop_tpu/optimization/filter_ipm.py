@@ -776,6 +776,24 @@ class _MdsStrategy:
         self._safe_mode = 0
         self._safe_tiers = _dense_safe_tiers(o)
         self._chronic_delta = 0
+        # triplet-based Schur assembly (the reference's addMDinv* kernels):
+        # precompute the same-column nonzero pairs once; quick-tier
+        # factorizations then assemble Js Ks^-1 Js^T in O(sum deg^2)
+        # scatter-adds instead of the dense (m, n_s) @ (n_s, m) matmul
+        from hiop_tpu.kkt import mds as _kkt_mds
+        import numpy as _np
+
+        stacked_rows = _np.concatenate([
+            _np.asarray(nlp.jac_sp_eq_rows, dtype=_np.int64),
+            nlp.m_eq + _np.asarray(nlp.jac_sp_in_rows, dtype=_np.int64),
+        ])
+        stacked_cols = _np.concatenate([
+            _np.asarray(nlp.jac_sp_eq_cols, dtype=_np.int64),
+            _np.asarray(nlp.jac_sp_in_cols, dtype=_np.int64),
+        ])
+        self._js_pairs = _kkt_mds.build_schur_pairs(
+            stacked_rows, stacked_cols, nlp.n_sparse
+        )
 
     @property
     def fact_dtype(self):
@@ -798,6 +816,16 @@ class _MdsStrategy:
                 Jc_s=Jc[:, :ns], Jc_d=Jc[:, ns:],
                 Jd_s=Jd[:, :ns], Jd_d=Jd[:, ns:],
             )
+            if self._js_pairs is not None:
+                nlp = self.nlp
+                parts = []
+                if nlp.m_eq:
+                    parts.append(Jc[nlp.jac_sp_eq_rows, nlp.jac_sp_eq_cols])
+                if nlp.m_ineq:
+                    parts.append(Jd[nlp.jac_sp_in_rows, nlp.jac_sp_in_cols])
+                self._data["js_vals"] = (
+                    jnp.concatenate(parts) if parts else jnp.zeros((0,))
+                )
         self.perturb.set_mu(float(mu))
         self.perturb.compute_initial_deltas()
         self._mu = float(mu)
@@ -819,6 +847,12 @@ class _MdsStrategy:
             if self._safe_mode:
                 tier = self._safe_tiers[self._safe_mode - 1]
                 return kkt_mds.factorize_safe(*args, host=(tier == "lu_eig"))
+            if self._js_pairs is not None:
+                return kkt_mds.factorize(
+                    *args,
+                    js_vals=self._cast(d["js_vals"]),
+                    js_pairs=self._js_pairs,
+                )
             return kkt_mds.factorize(*args)
 
     def _solve(self, f, rx_t, rd_t, ryc, ryd):

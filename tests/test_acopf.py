@@ -95,3 +95,32 @@ def test_chronic_escalation_respects_forcequick():
     finally:
         fi.FilterIPMNewton._make_strategy = orig
     assert strat_holder["s"]._safe_mode == 0
+
+
+def test_schur_js_triplets_matches_dense():
+    """Triplet Schur assembly (the addMDinv* kernel analogue) equals the
+    dense (Js * ks_inv) @ Js.T product, including signed ks_inv; duplicate
+    structure entries force the dense fallback."""
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(0)
+    m, ns, nnz = 40, 120, 300
+    rc = rng.choice(m * ns, nnz, replace=False)
+    rows, cols = rc // ns, rc % ns
+    vals = rng.standard_normal(nnz)
+    ksinv = rng.uniform(0.5, 2.0, ns) * np.sign(rng.standard_normal(ns))
+    Js = np.zeros((m, ns))
+    Js[rows, cols] = vals
+    ref = (Js * ksinv) @ Js.T
+    pairs = kkt_mds.build_schur_pairs(rows, cols, ns)
+    out = kkt_mds.schur_js_triplets(
+        jnp.asarray(vals), jnp.asarray(ksinv), pairs, m
+    )
+    assert np.abs(np.asarray(out) - ref).max() < 1e-12
+    # duplicates would be double counted -> builder must decline
+    rows2 = np.concatenate([rows, rows[:1]])
+    cols2 = np.concatenate([cols, cols[:1]])
+    assert kkt_mds.build_schur_pairs(rows2, cols2, ns) is None
+    # pair-count cap -> dense fallback
+    assert kkt_mds.build_schur_pairs(rows, cols, ns, max_pairs=10) is None
