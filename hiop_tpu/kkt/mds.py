@@ -158,6 +158,78 @@ def _factorize_core(
 factorize = jax.jit(_factorize_core)
 
 
+class MdsSaddleDeviceFactors(NamedTuple):
+    """Traceable (jit/while_loop-safe) MDS saddle factors: the diagonal
+    sparse block eliminated with its SIGNED inverse, the (n_d + m) saddle
+    factorized by the on-device blocked no-pivot LDL^T, inertia by pivot
+    signs + Haynsworth additivity for the eliminated diagonal. All leaves
+    are arrays, so this flows through lax.while_loop carries — the fused
+    (jit_mode=iteration/solve) inertia-revealing KKT realization."""
+    L: jax.Array        # unit-lower LDL factor (padded)
+    d: jax.Array        # pivots (padded)
+    ks_inv: jax.Array
+    Js: jax.Array
+    Jdn: jax.Array
+    dd_tot: jax.Array
+    ok: jax.Array       # finite factorization AND inertia == mc + md
+
+
+def factorize_saddle_device(
+    hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
+    delta_wx, delta_wd, delta_cc, delta_cd,
+):
+    """Traceable analogue of :func:`factorize_safe` (host=False) with the
+    inertia acceptance folded into ``ok``: ok means the factorization is
+    finite AND n_neg(saddle) + n_neg(eliminated diag) == mc + md — the
+    reference's hiopFactAcceptorIC criterion evaluated on device, so the
+    fused regularization ladder (fused_newton.fact_with_reg) leaves
+    delta_w at 0 whenever the true reduced Hessian is positive definite."""
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    mc, md = Jc_s.shape[0], Jd_s.shape[0]
+    dt = Hdd.dtype
+    tol_ks = 1e-14
+
+    ks = hss + Dxs + delta_wx
+    ks_ok = jnp.all(jnp.abs(ks) > tol_ks)
+    n_neg_ks = jnp.sum(ks < -tol_ks)
+    ks_inv = jnp.where(
+        jnp.abs(ks) > tol_ks, 1.0 / jnp.where(ks == 0, 1.0, ks), 0.0
+    )
+    Js = jnp.concatenate([Jc_s, Jd_s], axis=0)
+    Jdn = jnp.concatenate([Jc_d, Jd_d], axis=0)
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+
+    Kd = Hdd + jnp.diag(Dxd + delta_wx)
+    C = (Js * ks_inv) @ Js.T + jnp.diag(
+        jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
+    )
+    M = jnp.block([[Kd, Jdn.T], [Jdn, -C]])
+    f = _ldl.ldl_factor(M)
+    ok = f.ok & ks_ok & (f.n_neg + n_neg_ks == mc + md)
+    return MdsSaddleDeviceFactors(f.L, f.d, ks_inv, Js, Jdn, dd_tot, ok)
+
+
+def solve_saddle_device(f: MdsSaddleDeviceFactors, rxs_t, rxd_t, rd_t, ryc, ryd):
+    """Direction recovery for :func:`factorize_saddle_device` (traceable)."""
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    nd = rxd_t.shape[0]
+    mc = ryc.shape[0]
+    dd_inv = jnp.where(f.dd_tot > 0, 1.0 / jnp.maximum(f.dd_tot, 1e-300), 0.0)
+    rhs_y = jnp.concatenate([ryc, ryd + dd_inv * rd_t]) - f.Js @ (f.ks_inv * rxs_t)
+    rhs = jnp.concatenate([rxd_t, rhs_y])
+    lf = _ldl.LdlFactors(f.L, f.d, rhs.shape[0], jnp.asarray(0), f.ok)
+    sol = _ldl.ldl_solve(lf, rhs)
+    dxd = sol[:nd]
+    dy = sol[nd:]
+    dyc, dyd = dy[:mc], dy[mc:]
+    dxs = f.ks_inv * (rxs_t - f.Js.T @ dy)
+    dd = dd_inv * (rd_t + dyd)
+    return dxs, dxd, dd, dyc, dyd
+
+
 class MdsSafeFactors(NamedTuple):
     """Safe-tier factors: the sparse diag block stays eliminated (exact),
     but the dense block is NOT reduced to an SPD Schur complement — the

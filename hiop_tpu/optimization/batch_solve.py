@@ -272,6 +272,7 @@ def build_batched_solve(pnlp):
         eta_phi=o.num("eta_phi"), min_step_size=o.num("min_step_size"),
         smax=o.num("smax"),
         max_soc_iter=o.integer("max_soc_iter"), kappa_soc=o.num("kappa_soc"),
+        fused_ldl=o.str_("linear_solver_dense") == "ldl_nopiv",
     )
     term = dict(
         eps_tol=o.num("tolerance"), rel_tol=o.num("rel_tolerance"),

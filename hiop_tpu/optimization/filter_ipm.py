@@ -1929,6 +1929,9 @@ class FilterIPMBase:
             min_step_size=self.min_step_size, smax=self.smax,
             max_soc_iter=o.integer("max_soc_iter"),
             kappa_soc=o.num("kappa_soc"),
+            # on-device inertia-revealing KKT for the fused modes (the
+            # structurally-indefinite answer; see fused_newton)
+            fused_ldl=o.str_("linear_solver_dense") == "ldl_nopiv",
         )
         if self._fused_mode == "qn":
             from hiop_tpu.optimization import hessian_lowrank as blr

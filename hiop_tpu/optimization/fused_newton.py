@@ -67,6 +67,15 @@ class FusedScalars(NamedTuple):
     phi_add: jax.Array
 
 
+class _FusedLdlFactors(NamedTuple):
+    """All-array LDL factors for the fused ladder (lax.while_loop-safe):
+    `ok` folds the pivot-sign inertia acceptance (n_neg == m_eq + m_ineq)
+    into the regularization loop's retry condition."""
+    L: jax.Array
+    d: jax.Array
+    ok: jax.Array
+
+
 class FusedState(NamedTuple):
     it: Iterate
     f: jax.Array
@@ -411,6 +420,19 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             )
             return fct
 
+        # linear_solver_dense=ldl_nopiv selects the inertia-revealing
+        # on-device factorization INSIDE the fused program: blocked no-pivot
+        # LDL^T with pivot-sign inertia folded into the ladder's `ok`, so
+        # delta_w stays 0 whenever the true reduced Hessian is PD — the
+        # fused-mode answer to the structurally-indefinite creep above.
+        # MDS only: its partially reduced saddle leads with the dense PD-ish
+        # K_d block, which no-pivot LDL^T handles; the raw XDYcYd ordering
+        # leads with an indefinite (often zero-diagonal) Hessian block and
+        # breaks the pivot-free factorization down (measured on the
+        # densified ACOPF twin) — dense formulations keep the Cholesky
+        # ladder + host fallback.
+        use_ldl = bool(consts.get("fused_ldl", False)) and is_mds
+
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         if is_qn:
             from hiop_tpu.kkt import lowrank as kkt_lowrank
@@ -428,20 +450,36 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd, th)
             else:
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
-            fct = fact_with_reg(
-                lambda dw, dc: kkt_mds.factorize(
-                    hss, Hdd, Dx[:ns], Dx[ns:], Dd,
-                    Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
-                    dw, dw, dc, dc,
-                ),
-                it.x.dtype,
-            )
-
-            def solve_compressed(rx_t, rd_t, ryc, ryd):
-                dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
-                    fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+            if use_ldl:
+                fct = fact_with_reg(
+                    lambda dw, dc: kkt_mds.factorize_saddle_device(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                        dw, dw, dc, dc,
+                    ),
+                    it.x.dtype,
                 )
-                return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+
+                def solve_compressed(rx_t, rd_t, ryc, ryd):
+                    dxs, dxd, dd, dyc, dyd = kkt_mds.solve_saddle_device(
+                        fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                    )
+                    return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+            else:
+                fct = fact_with_reg(
+                    lambda dw, dc: kkt_mds.factorize(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                        dw, dw, dc, dc,
+                    ),
+                    it.x.dtype,
+                )
+
+                def solve_compressed(rx_t, rd_t, ryc, ryd):
+                    dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
+                        fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                    )
+                    return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
 
             fct_ok = fct.ok
         else:

@@ -124,3 +124,33 @@ def test_schur_js_triplets_matches_dense():
     assert kkt_mds.build_schur_pairs(rows2, cols2, ns) is None
     # pair-count cap -> dense fallback
     assert kkt_mds.build_schur_pairs(rows, cols, ns, max_pairs=10) is None
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_acopf_fuzz_random_grids(seed):
+    """Randomized grids (loads, admittances, cost coupling, participation
+    all seeded) solve on both formulations to the same objective — the
+    ACOPF analogue of the repo's randomized QP fuzz tiers."""
+    n_bus = int(np.random.default_rng(seed).integers(8, 28)) // 4 * 4
+    r_mds = am.solve(n_bus, sparse=False, seed=seed, verbosity_level=0,
+                     max_iter=300)
+    r_sp = am.solve(n_bus, sparse=True, seed=seed, verbosity_level=0,
+                    max_iter=300)
+    assert r_mds.status.is_success, (seed, n_bus, r_mds.status)
+    assert r_sp.status.is_success, (seed, n_bus, r_sp.status)
+    assert _rel(r_mds.obj, r_sp.obj) < 1e-6, (seed, n_bus)
+
+
+def test_fused_mds_ldl_inertia_path():
+    """jit_mode=solve with linear_solver_dense=ldl_nopiv runs the
+    inertia-revealing blocked LDL^T INSIDE the fused program
+    (fused_newton _FusedLdlFactors / kkt.mds.factorize_saddle_device):
+    the structurally indefinite ACOPF MDS instance converges to the host
+    objective in a comparable iteration count, where the fused Cholesky
+    ladder creeps past max_iter."""
+    r_host = am.solve(16, sparse=False, verbosity_level=0)
+    r_fused = am.solve(16, sparse=False, verbosity_level=0, jit_mode="solve",
+                       linear_solver_dense="ldl_nopiv", max_iter=300)
+    assert r_fused.status.is_success
+    assert _rel(r_fused.obj, r_host.obj) < 1e-7
+    assert r_fused.iterations < 120
