@@ -58,6 +58,26 @@ from hiop_tpu.interface.base import INF
 SELFCHECK = {32: (2.054726213295e01, 1e-6), 128: (5.773825703419e01, 1e-5)}
 
 
+def _grid_y_values(n_bus, edges, line_y, order, mask=None):
+    """(g_vals, b_vals) on the grid's fixed COO pattern (lexsort `order`),
+    with lines where ``mask`` is False removed — line outages keep the
+    sparsity pattern, so every contingency shares one XLA program."""
+    diag_g = np.full(n_bus, 0.01)          # small shunt conductance
+    diag_b = np.full(n_bus, 0.001)
+    gv, bv = [], []
+    for k, (i, j) in enumerate(edges):
+        y = line_y[k] if (mask is None or mask[k]) else 0.0j
+        diag_g[i] += y.real
+        diag_g[j] += y.real
+        diag_b[i] += y.imag
+        diag_b[j] += y.imag
+        gv += [-y.real, -y.real]
+        bv += [-y.imag, -y.imag]
+    g_vals = np.concatenate([diag_g, np.asarray(gv)])
+    b_vals = np.concatenate([diag_b, np.asarray(bv)])
+    return g_vals[order], b_vals[order]
+
+
 def build_grid(n_bus: int, seed: int = 0):
     """Ring + chords admittance matrix in COO parts, loads, participation."""
     rng = np.random.default_rng(seed)
@@ -66,28 +86,18 @@ def build_grid(n_bus: int, seed: int = 0):
         for i in range(0, n_bus // 2, 4):
             edges.append((i, i + n_bus // 2))
     n_line = len(edges)
-    ii, jj, gv, bv = [], [], [], []
-    diag_g = np.full(n_bus, 0.01)          # small shunt conductance
-    diag_b = np.full(n_bus, 0.001)
-    for k, (i, j) in enumerate(edges):
+    line_y = []
+    for k in range(n_line):
         r = (0.01 if k < n_bus else 0.02) * (1.0 + 0.2 * rng.random())
         x = (0.10 if k < n_bus else 0.20) * (1.0 + 0.2 * rng.random())
-        y = 1.0 / complex(r, x)
-        diag_g[i] += y.real
-        diag_g[j] += y.real
-        diag_b[i] += y.imag
-        diag_b[j] += y.imag
-        ii += [i, j]
-        jj += [j, i]
-        gv += [-y.real, -y.real]
-        bv += [-y.imag, -y.imag]
+        line_y.append(1.0 / complex(r, x))
+    ii = [e for i, j in edges for e in (i, j)]
+    jj = [e for i, j in edges for e in (j, i)]
     rows = np.concatenate([np.arange(n_bus), np.asarray(ii)])
     cols = np.concatenate([np.arange(n_bus), np.asarray(jj)])
-    g_vals = np.concatenate([diag_g, np.asarray(gv)])
-    b_vals = np.concatenate([diag_b, np.asarray(bv)])
     order = np.lexsort((cols, rows))
     rows, cols = rows[order], cols[order]
-    g_vals, b_vals = g_vals[order], b_vals[order]
+    g_vals, b_vals = _grid_y_values(n_bus, edges, line_y, order)
 
     p_load = rng.uniform(0.05, 0.30, n_bus)
     ng = max(4, n_bus // 5)
@@ -113,6 +123,7 @@ def build_grid(n_bus: int, seed: int = 0):
         rows=rows, cols=cols, g_vals=g_vals, b_vals=b_vals,
         p_load=p_load, alpha=alpha, g_max=g_max, cost_c=cost_c, cost_Q=cost_Q,
         rho_v=5.0, rho_w=0.05, rho_w2=0.01, i_max2=9.0,
+        edges=edges, line_y=line_y, order=order,
     )
 
 
@@ -144,6 +155,13 @@ class _AcopfCore:
 
     def _ymatvec(self, vals, x):
         return jnp.zeros(self.B, x.dtype).at[self._yr].add(vals * x[self._yc])
+
+    def _gb(self, th):
+        """Admittance values: the scenario parameter (contingency) when
+        given, else the base grid."""
+        if th is None:
+            return self._gv, self._bv
+        return th["gv"], th["bv"]
 
     def split(self, z):
         B = self.B
@@ -181,11 +199,12 @@ class _AcopfCore:
     def grad_dense(self, g):
         return self._Q @ g + self._c
 
-    def cons_all(self, z, g):
+    def cons_all(self, z, g, th=None):
         """All 9B rows: [Ia, Ib, p1,m1,p2,m2 defs, Pbal, vdef, wdef]."""
+        gv, bv = self._gb(th)
         e, f, a, b, p1, m1, p2, m2, v, w = self.split(z)
-        ia = a - self._ymatvec(self._gv, e) + self._ymatvec(self._bv, f)
-        ib = b - self._ymatvec(self._gv, f) - self._ymatvec(self._bv, e)
+        ia = a - self._ymatvec(gv, e) + self._ymatvec(bv, f)
+        ib = b - self._ymatvec(gv, f) - self._ymatvec(bv, e)
         d1 = p1 - e - a
         d2 = m1 - e + a
         d3 = p2 - f - b
@@ -269,15 +288,16 @@ class _AcopfCore:
         self._jc = np.concatenate(seg_cols)
         self._nnz_y = nnz_y
 
-    def jac_vals_sparse(self, z):
+    def jac_vals_sparse(self, z, th=None):
         """Values aligned with the segment layout of _build_jac_structure."""
+        gv, bv = self._gb(th)
         B = self.B
         e, f, a, b, p1, m1, p2, m2, v, w = self.split(z)
         one = jnp.ones(B, z.dtype)
         sgn = jnp.asarray([-1.0, 1.0, -1.0, 1.0])
         vals = [
-            one, -self._gv, self._bv,                 # Ia
-            one, -self._gv, -self._bv,                # Ib
+            one, -gv, bv,                             # Ia
+            one, -gv, -bv,                            # Ib
             one, -one, -one,                          # p1 = e + a
             one, -one, +one,                          # m1 = e - a
             one, -one, -one,                          # p2 = f + b
@@ -444,6 +464,124 @@ class AcopfSparse(SparseProblem):
         return jnp.concatenate([hd, obj_factor * self._q_ut])
 
 
+class AcopfContingencyMds(MdsProblem):
+    """N-1 line-outage contingency family (SC-ACOPF security screening):
+    every scenario is the base grid with one line removed — admittance
+    VALUES change on the fixed sparsity pattern, so the whole family is
+    one static XLA program. Parametric hooks follow the
+    :class:`hiop_tpu.optimization.batch_solve.ParametricMdsNlp` convention
+    (trailing scenario parameter th = {"gv", "bv"}); solve the family with
+    :func:`solve_contingencies` — the reference solves this workload as
+    one-CPU-IPM-per-MPI-worker inside PriDec (SC-ACOPF,
+    doc/pridec_implpaper.pdf), here it is ONE vmapped fused device
+    program with the on-device inertia-revealing LDL^T ladder."""
+
+    jittable = True
+    jac_constant = False
+
+    def __init__(self, n_bus: int = 32, seed: int = 0):
+        self.core = c = _AcopfCore(n_bus, seed)
+        self.n_sp, self.nd, self.m = c.n_sp, c.ng, c.m
+
+    # -- static structure (shared by all scenarios) -------------------------
+    def get_prob_sizes(self):
+        return self.n_sp + self.nd, self.m
+
+    def get_sparse_dense_blocks_info(self):
+        return self.n_sp, self.nd
+
+    def get_vars_info(self):
+        xl, xu = self.core.var_bounds_sparse()
+        return (
+            np.concatenate([xl, np.zeros(self.nd)]),
+            np.concatenate([xu, np.asarray(self.core.gd["g_max"])]),
+        )
+
+    def get_cons_info(self):
+        return self.core.cons_bounds()
+
+    def get_starting_point(self):
+        return np.concatenate([self.core.start_sparse(), self.core.start_dense()])
+
+    def contingency_params(self, lines):
+        """Stacked th for the given outaged line indices (ring edges keep
+        the grid connected; index -1 = no outage / basecase)."""
+        gd = self.core.gd
+        gvs, bvs = [], []
+        for k in lines:
+            mask = np.ones(gd["n_line"], dtype=bool)
+            if k >= 0:
+                mask[k] = False
+            gv, bv = _grid_y_values(
+                gd["n_bus"], gd["edges"], gd["line_y"], gd["order"], mask
+            )
+            gvs.append(gv)
+            bvs.append(bv)
+        return dict(gv=jnp.asarray(np.stack(gvs)), bv=jnp.asarray(np.stack(bvs)))
+
+    def th0(self):
+        return dict(gv=self.core._gv, bv=self.core._bv)
+
+    # -- parametric evaluations ---------------------------------------------
+    def _split(self, x):
+        return x[: self.n_sp], x[self.n_sp:]
+
+    def eval_f(self, x, th):
+        z, g = self._split(x)
+        return self.core.obj_sparse(z) + self.core.obj_dense(g)
+
+    def eval_grad_f(self, x, th):
+        z, g = self._split(x)
+        return jnp.concatenate([self.core.grad_sparse(z), self.core.grad_dense(g)])
+
+    def eval_cons(self, x, th):
+        z, g = self._split(x)
+        return self.core.cons_all(z, g, th)
+
+    def jac_sparse_structure(self):
+        return self.core._jr, self.core._jc
+
+    def eval_jac_blocks(self, x, th):
+        z, _ = self._split(x)
+        B = self.core.B
+        dense = jnp.zeros((self.m, self.nd))
+        dense = dense.at[6 * B:7 * B, :].set(self.core._alpha)
+        return self.core.jac_vals_sparse(z, th), dense
+
+    def eval_hess_blocks(self, x, obj_factor, lam, th):
+        z, _ = self._split(x)
+        return (
+            self.core.hess_diag_sparse(z, obj_factor, lam),
+            obj_factor * self.core._Q,
+        )
+
+
+def solve_contingencies(n_bus: int = 32, n_cont: int = 8, seed: int = 0, **opts):
+    """Solve the basecase + (n_cont - 1) single-line outages as ONE
+    batched fused device program. Returns a BatchResult."""
+    from hiop_tpu.optimization.batch_solve import ParametricMdsNlp, solve_batched
+
+    prob = AcopfContingencyMds(n_bus, seed)
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact",
+        fixed_var="relax",
+        tolerance=1e-6,
+        mu0=0.1,
+        linear_solver_dense="ldl_nopiv",  # on-device inertia in the ladder
+        verbosity_level=0,
+    )
+    o.update(**opts)
+    pnlp = ParametricMdsNlp(prob, prob.th0(), o)
+    # basecase (-1) + ring-line outages spread around the ring
+    n_line_ring = n_bus
+    lines = [-1] + [
+        (i * n_line_ring) // max(n_cont - 1, 1) for i in range(n_cont - 1)
+    ]
+    ths = prob.contingency_params(lines)
+    return solve_batched(pnlp, ths), lines
+
+
 def solve(n_bus: int = 32, sparse: bool = False, seed: int = 0, **opts):
     o = NlpOptions()
     o.update(
@@ -464,6 +602,18 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     pos = [a for a in argv if not a.startswith("-")]
     n_bus = int(pos[0]) if pos else 32
+    if "-contingencies" in argv:
+        n_cont = int(argv[argv.index("-contingencies") + 1])
+        res, lines = solve_contingencies(n_bus, n_cont)
+        ok = all(s.is_success for s in res.status)
+        print(f"SC-ACOPF screening: {n_cont} scenarios (outages {lines}), "
+              f"{'all converged' if ok else 'FAILURES'}; "
+              f"objectives {np.round(res.obj, 6).tolist()}; "
+              f"iters {res.iterations.tolist()}")
+        if "-selfcheck" in argv:
+            print("selfcheck OK" if ok else "selfcheck FAILED")
+            return 0 if ok else 1
+        return 0
     r = solve(n_bus, sparse="-sparse" in argv)
     print(f"Objective: {r.obj:.12e} status {r.status.name} iters {r.iterations}")
     if "-selfcheck" in argv:

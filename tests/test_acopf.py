@@ -154,3 +154,26 @@ def test_fused_mds_ldl_inertia_path():
     assert r_fused.status.is_success
     assert _rel(r_fused.obj, r_host.obj) < 1e-7
     assert r_fused.iterations < 120
+
+
+def test_sc_acopf_contingency_batch():
+    """The N-1 contingency family solves as ONE vmapped fused device
+    program (ParametricMdsNlp over AcopfContingencyMds with the on-device
+    LDL inertia ladder); scenario 1's objective matches a host solve of
+    the outaged grid."""
+    import jax.numpy as jnp
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+
+    res, lines = am.solve_contingencies(16, 3, max_iter=300)
+    assert all(s.is_success for s in res.status)
+    prob = am.AcopfContingencyMds(16)
+    th = prob.contingency_params([lines[1]])
+    p2 = am.AcopfMds(16)
+    p2.core._gv = jnp.asarray(th["gv"][0])
+    p2.core._bv = jnp.asarray(th["bv"][0])
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+             mu0=0.1, verbosity_level=0)
+    r = FilterIPMNewton(NlpMDS(p2, o)).run()
+    assert r.status.is_success
+    assert _rel(res.obj[1], r.obj) < 1e-6
