@@ -81,6 +81,21 @@ class NlpMDS(NlpFormulation):
             dense_blk[self.ineq_idx, :],
         )
 
+    def eval_hess(self, x, obj_factor, yc, yd):
+        """Dense Lagrangian Hessian materialized from the MDS blocks
+        (diagonal sparse block + dense block). Serves the paths that need
+        a full Hessian of an MDS problem — most importantly the nested
+        feasibility-restoration solve (the reference dedicates
+        hiopFRProbMDS to this, hiopFRProb.hpp:238; here the FR
+        reformulation is block-agnostic and consumes the densified
+        Hessian). O(n^2) memory, used only off the hot path."""
+        hss, hdd = self.eval_hess_blocks(x, obj_factor, yc, yd)
+        ns = self.n_sparse
+        H = jnp.zeros((self.n, self.n), hdd.dtype)
+        H = H.at[jnp.arange(ns), jnp.arange(ns)].set(hss)
+        H = H.at[ns:, ns:].set(hdd)
+        return H
+
     def eval_hess_blocks(self, x, obj_factor, yc, yd):
         """Returns (hss_diag, Hdd), scaled."""
         self.runstats.n_eval_hess += 1

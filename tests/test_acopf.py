@@ -177,3 +177,16 @@ def test_sc_acopf_contingency_batch():
     r = FilterIPMNewton(NlpMDS(p2, o)).run()
     assert r.status.is_success
     assert _rel(res.obj[1], r.obj) < 1e-6
+
+
+def test_pridec_sc_acopf():
+    """Two-stage SC-ACOPF through the PriDec interface: master basecase
+    dispatch + batched contingency re-dispatch recourse (the reference's
+    flagship PriDec workload as one vmapped device program per outer
+    iteration, with per-scenario host fallback)."""
+    import examples.acopf_pridec as ap
+
+    r = ap.solve(16, 3, verbosity_level=0, max_iter=25)
+    assert r.status.name in ("Solve_Success", "Solve_Acceptable_Level")
+    assert np.isfinite(r.obj)
+    assert r.convergence < 1e-4
