@@ -348,7 +348,11 @@ class NlpOptions(OptionsBase):
         rs("linear_solver_dense", "auto", ["auto", "ldl_nopiv", "lu_eig"],
            "dense safe-tier KKT solver: ldl_nopiv=on-device blocked no-pivot LDL^T "
            "(MAGMA-Nopiv analogue), lu_eig=host LU + eigen inertia (LAPACK analogue); "
-           "auto=ldl_nopiv then lu_eig on accelerators, lu_eig on CPU")
+           "auto=ldl_nopiv then lu_eig on accelerators, lu_eig on CPU. "
+           "ldl_nopiv also switches the MDS fused modes (jit_mode="
+           "iteration/solve) to the on-device inertia-revealing saddle "
+           "factorization — required for structurally indefinite problems "
+           "in fused mode")
         rs("fact_acceptor", "inertia_correction",
            ["inertia_correction", "inertia_free"], "acceptance test for factorizations")
         rn("neg_curv_test_fact", 1e-11, 0.0, 1e10, "inertia-free curvature test parameter")
