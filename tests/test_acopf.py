@@ -190,3 +190,40 @@ def test_pridec_sc_acopf():
     assert r.status.name in ("Solve_Success", "Solve_Acceptable_Level")
     assert np.isfinite(r.obj)
     assert r.convergence < 1e-4
+
+
+def test_saddle_device_matches_host_safe():
+    """factorize/solve_saddle_device (the fused inertia realization) agree
+    with the host safe tier on a random indefinite MDS system."""
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(5)
+    ns, nd, mc, md = 24, 6, 10, 4
+    hss = jnp.asarray(rng.standard_normal(ns))          # indefinite diagonal
+    A = rng.standard_normal((nd, nd))
+    Hdd = jnp.asarray(A @ A.T + nd * np.eye(nd))
+    Dxs = jnp.asarray(rng.uniform(0.1, 1.0, ns))
+    Dxd = jnp.asarray(rng.uniform(0.1, 1.0, nd))
+    Dd = jnp.asarray(rng.uniform(0.5, 2.0, md))
+    Jc_s = jnp.asarray(rng.standard_normal((mc, ns)))
+    Jc_d = jnp.asarray(rng.standard_normal((mc, nd)))
+    Jd_s = jnp.asarray(rng.standard_normal((md, ns)))
+    Jd_d = jnp.asarray(rng.standard_normal((md, nd)))
+    args = (hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d, 0.0, 0.0, 1e-8, 1e-8)
+    fd = kkt_mds.factorize_saddle_device(*args)
+    fh = kkt_mds.factorize_safe(*args, host=True)
+    assert bool(fh.ok)
+    rxs = jnp.asarray(rng.standard_normal(ns))
+    rxd = jnp.asarray(rng.standard_normal(nd))
+    rd = jnp.asarray(rng.standard_normal(md))
+    ryc = jnp.asarray(rng.standard_normal(mc))
+    ryd = jnp.asarray(rng.standard_normal(md))
+    out_d = kkt_mds.solve_saddle_device(fd, rxs, rxd, rd, ryc, ryd)
+    out_h = kkt_mds.solve_safe(fh, rxs, rxd, rd, ryc, ryd)
+    for a, b in zip(out_d, out_h):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+    # inertia agreement (pivot signs + Haynsworth vs eig count)
+    exp = mc + md
+    if bool(fd.ok):
+        assert int(fh.n_neg_eig) == exp
