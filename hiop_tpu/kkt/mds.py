@@ -107,6 +107,47 @@ def schur_js_triplets(js_vals, ks_inv, pairs, m: int):
     return flat.reshape(m, m)
 
 
+def schur_js_triplets_sharded(js_vals, ks_inv, pairs, m: int, mesh, axis: str = "x"):
+    """Mesh-sharded triplet Schur assembly: the pair list is partitioned
+    over the mesh axis (padded with zero-contribution entries), each device
+    scatter-adds its partial (m, m) sum, and one ``psum`` over ICI yields
+    the replicated Schur matrix — the multi-chip Newton analogue of the
+    QN path's n-axis distribution (SURVEY.md §2.9: partial local products
+    + allreduce, here over same-column nonzero pairs instead of vector
+    slices). The replicated S then feeds the replicated Cholesky, exactly
+    the reference's replicated-small-solve pattern."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    pa, pb, pvar, prow, pcol = (np.asarray(a) for a in pairs)
+    n_pairs = pa.size
+    pad = (-n_pairs) % n_dev
+    if pad:
+        # padding pairs index entry 0 but write through a zero weight
+        pa = np.concatenate([pa, np.zeros(pad, pa.dtype)])
+        pb = np.concatenate([pb, np.zeros(pad, pb.dtype)])
+        pvar = np.concatenate([pvar, np.zeros(pad, pvar.dtype)])
+        prow = np.concatenate([prow, np.zeros(pad, prow.dtype)])
+        pcol = np.concatenate([pcol, np.zeros(pad, pcol.dtype)])
+    w = (np.arange(n_pairs + pad) < n_pairs).astype(np.float64)
+    parts = tuple(jnp.asarray(a) for a in (pa, pb, pvar, prow, pcol))
+    wj = jnp.asarray(w)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def _assemble(vals, kinv, pa_, pb_, pvar_, prow_, pcol_, w_):
+        prod = vals[pa_] * vals[pb_] * kinv[pvar_] * w_.astype(vals.dtype)
+        part = jnp.zeros((m * m,), vals.dtype).at[prow_ * m + pcol_].add(prod)
+        return jax.lax.psum(part, axis)
+
+    return _assemble(js_vals, ks_inv, *parts, wj).reshape(m, m)
+
+
 def _factorize_core(
     hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
     delta_wx, delta_wd, delta_cc, delta_cd,

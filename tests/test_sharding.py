@@ -140,3 +140,29 @@ def test_fused_qn_sharded_mesh():
     r = FilterIPMQuasiNewton(nlp).run()
     assert r.status.is_success
     assert abs(r.obj - 8.6157e-02) < 1e-5
+
+
+def test_sharded_schur_assembly_matches_single_device():
+    """Mesh-sharded triplet Schur assembly (kkt.mds.schur_js_triplets_sharded):
+    pair list partitioned over 8 devices, partial scatters psum'd over the
+    mesh — bit-identical structure to the single-device product (the
+    multi-chip Newton KKT assembly primitive)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(3)
+    m, ns, nnz = 48, 160, 420
+    rc = rng.choice(m * ns, nnz, replace=False)
+    rows, cols = rc // ns, rc % ns
+    vals = jnp.asarray(rng.standard_normal(nnz))
+    ksinv = jnp.asarray(
+        rng.uniform(0.5, 2.0, ns) * np.sign(rng.standard_normal(ns))
+    )
+    pairs = kkt_mds.build_schur_pairs(rows, cols, ns)
+    ref = kkt_mds.schur_js_triplets(vals, ksinv, pairs, m)
+    mesh = Mesh(np.array(jax.devices()), ("x",))
+    out = kkt_mds.schur_js_triplets_sharded(vals, ksinv, pairs, m, mesh)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
