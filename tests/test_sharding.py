@@ -215,3 +215,28 @@ def test_mds_kkt_gspmd_sharded_matches_single_device():
     for a, b in zip(ref, out):
         if a.size:
             assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_sharded_mds_newton_acopf_matches_single():
+    """The ENTIRE MDS Newton solve runs with the formulation sharded over
+    a mesh (shard_formulation on an NlpMDS): identical iteration count and
+    objective to 8e-15 on the ACOPF driver problem — the reference's
+    MPI-vs-serial iteration-equivalence check applied to the Newton/MDS
+    path."""
+    import examples.acopf_mds as am
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+    from hiop_tpu.parallel.mesh import make_mesh, shard_formulation
+
+    def run(shard):
+        o = NlpOptions()
+        o.update(Hessian="analytical_exact", fixed_var="relax",
+                 tolerance=1e-6, mu0=0.1, verbosity_level=0)
+        nlp = NlpMDS(am.AcopfMds(16), o)
+        if shard:
+            shard_formulation(nlp, make_mesh(2))
+        return FilterIPMNewton(nlp).run()
+
+    r0, r1 = run(False), run(True)
+    assert r0.status.is_success and r1.status.is_success
+    assert r0.iterations == r1.iterations
+    assert abs(r0.obj - r1.obj) < 1e-10
