@@ -23,7 +23,7 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 _T0 = time.time()
-_TIME_BUDGET_S = 540.0  # skip secondary measurements when compiles eat the budget
+_TIME_BUDGET_S = 800.0  # skip secondary measurements when compiles eat the budget
 
 
 def _measure(jitted, args, iters):
@@ -143,13 +143,13 @@ def _bench_acopf():
     args64 = (hss, Hdd, Dx[:n_sp], Dx[n_sp:], Dd, Jc_s, Jc_d, rxs, rxd, ryc,
               jnp.asarray(sv))
     jit_step = jax.jit(step)
-    dt64 = _measure(jit_step, args64, iters=10)
+    dt64 = _measure(jit_step, args64, iters=5)
     # mixed-precision production path (kkt_fact_dtype=float32 + FGMRES IR):
     # the f32 factorize is what runs on the MXU while mu >= 1e-4
     args32 = tuple(
         a.astype(jnp.float32) if hasattr(a, "astype") else a for a in args64
     )
-    dt32 = _measure(jit_step, args32, iters=10)
+    dt32 = _measure(jit_step, args32, iters=8)
     return (dt64, dt32), (n_sp, nd, m)
 
 
@@ -179,6 +179,8 @@ def main():
     # each benchmark before the ones that poison the channel.
     dt_qn, n_qn = _bench_qn_large()
     dt_mds, mds_shape = _bench_mds() if time.time() - _T0 < _TIME_BUDGET_S else (None, None)
+    # the north-star ACOPF measurement outranks the fused-solve note when
+    # the relay is slow and the budget only fits three measurements
     try:
         acopf = _bench_acopf() if time.time() - _T0 < _TIME_BUDGET_S else None
     except Exception:
