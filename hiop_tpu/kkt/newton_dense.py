@@ -187,6 +187,116 @@ def solve_safe_device(f: DeviceLdlFactors, rx_t, rd_t, ryc, ryd):
     return dx, dd, dyc, dyd
 
 
+def assemble_xycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    """Full symmetric XYcYd matrix — the reference's *other* compressed
+    linearization (hiopKKTLinSys.hpp:292-301, dense realization
+    hiopKKTLinSysDense.hpp:72): the inequality slack d is eliminated too,
+    leaving the 3x3 system in (dx, dyc, dyd), ordered [x, yc, yd]::
+
+      [ H + Dx + delta_wx   Jc^T        Jd^T                         ]
+      [ Jc                  -delta_cc                                ]
+      [ Jd                              -(Dd+delta_wd)^{-1}-delta_cd ]
+
+    Compared to XDYcYd this is smaller (n+mc+md vs n+md+mc+md) but its
+    (yd,yd) block carries the *inverse* barrier diagonal — different
+    conditioning as mu -> 0, which is exactly why the reference keeps both
+    realizations selectable."""
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    dt = H.dtype
+    Z = jnp.zeros
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+    row_x = jnp.concatenate([H + jnp.diag(Dx + delta_wx), Jc.T, Jd.T], axis=1)
+    row_yc = jnp.concatenate(
+        [Jc, -delta_cc * jnp.eye(mc, dtype=dt), Z((mc, md), dt)], axis=1
+    )
+    row_yd = jnp.concatenate(
+        [Jd, Z((md, mc), dt), -jnp.diag(dd_inv + delta_cd)], axis=1
+    )
+    return jnp.concatenate([row_x, row_yc, row_yd], axis=0)
+
+
+@jax.jit
+def xycyd_matvec(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd,
+                 dx, dyc, dyd):
+    """Apply the compressed XYcYd operator (blocks of
+    :func:`assemble_xycyd`) — used by the mixed-precision inner IR."""
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+    rx = H @ dx + (Dx + delta_wx) * dx + Jc.T @ dyc + Jd.T @ dyd
+    ryc = Jc @ dx - delta_cc * dyc
+    ryd = Jd @ dx - (dd_inv + delta_cd) * dyd
+    return rx, ryc, ryd
+
+
+class XycydSafeFactors(NamedTuple):
+    """Host LU + eigen inertia of the assembled XYcYd matrix. Expected
+    inertia (n, mc+md, 0) — same negative count as XDYcYd, so the shared
+    acceptance test applies unchanged."""
+    lu: jax.Array
+    piv: jax.Array
+    n: int
+    mc: int
+    md: int
+    n_neg_eig: jax.Array
+    ok: jax.Array
+
+
+class XycydDeviceLdlFactors(NamedTuple):
+    """On-device no-pivot LDL^T of the XYcYd matrix (MAGMA-Nopiv analogue,
+    the reference's XYcYd GPU branch hiopKKTLinSysDense.hpp:100-113)."""
+    ldl: object
+    n: int
+    mc: int
+    md: int
+    n_neg_eig: jax.Array
+    ok: jax.Array
+
+
+def factorize_xycyd_safe(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd):
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    M = assemble_xycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd)
+    lu, piv, n_neg_eig = _lu_with_inertia(M, delta_cc)
+    import numpy as _np
+
+    ok = jnp.asarray(bool(_np.all(_np.isfinite(lu))))
+    return XycydSafeFactors(lu, piv, n, mc, md, n_neg_eig, ok)
+
+
+def factorize_xycyd_safe_device(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd,
+                                delta_cc, delta_cd):
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    n = H.shape[0]
+    mc, md = Jc.shape[0], Jd.shape[0]
+    M = assemble_xycyd(H, Dx, Dd, Jc, Jd, delta_wx, delta_wd, delta_cc, delta_cd)
+    f = _ldl.ldl_factor(M)
+    n_neg = jnp.where(f.ok, f.n_neg, -1)
+    return XycydDeviceLdlFactors(f, n, mc, md, n_neg, f.ok)
+
+
+def solve_xycyd_safe(f, rx_t, ryc, ryd_t):
+    """Solve the 3x3 system; returns (dx, dyc, dyd). The caller recovers
+    dd = (Dd+delta_wd)^{-1} (rd_t + dyd) (hiopKKTLinSys.cpp:670)."""
+    n, mc, md = f.n, f.mc, f.md
+    if isinstance(f, XycydDeviceLdlFactors):
+        from hiop_tpu.linalg import ldl_blocked as _ldl
+
+        rhs = jnp.concatenate([rx_t, ryc, ryd_t])
+        sol = _ldl.ldl_solve(f.ldl, rhs)
+    else:
+        import numpy as _np
+        import scipy.linalg as _sla
+
+        rhs = _np.concatenate(
+            [_np.asarray(rx_t), _np.asarray(ryc), _np.asarray(ryd_t)]
+        )
+        sol = jnp.asarray(_sla.lu_solve((f.lu, f.piv), rhs))
+    return sol[:n], sol[n:n + mc], sol[n + mc:]
+
+
 def _lu_with_inertia(M, delta_cc):
     """Host-side LU + eigen inertia (numpy LAPACK). The safe path is the
     *stable fallback* and deliberately runs on the host: the reference's

@@ -147,3 +147,117 @@ class SparseXDYcYdKKT:
             sol[n + mi:n + mi + me],
             sol[n + mi + me:],
         )
+
+
+class SparseXYcYdKKT:
+    """Sparse-direct realization of the *XYcYd* compressed linearization
+    (hiopKKTLinSysCompressedSparseXYcYd,
+    /root/reference/src/Optimization/hiopKKTLinSysSparse.hpp:74): the
+    inequality slack row is eliminated too, leaving the 3-block symmetric
+    system ordered [x, yc, yd]::
+
+      [ H + Dx + delta_wx   Jc^T        Jd^T                         ]
+      [ Jc                  -delta_cc                                ]
+      [ Jd                              -(Dd+delta_wd)^{-1}-delta_cd ]
+
+    (n + m_eq + m_ineq unknowns vs XDYcYd's n + 2*m_ineq + m_eq). Expected
+    inertia (n, m_eq + m_ineq, 0) — the same negative count as XDYcYd, so
+    the strategy's acceptance test is shared. ``solve`` takes the XDYcYd
+    rhs 4-tuple, forms ryd_tilde = ryd + Dd_tot^{-1} rd_t internally, and
+    recovers dd = Dd_tot^{-1}(rd_t + dyd) (hiopKKTLinSys.cpp:620,670)."""
+
+    def __init__(self, nlp, solver_name: str = "splu"):
+        import functools
+        import inspect
+
+        from hiop_tpu.linalg import solver_registry
+
+        factory = solver_registry.get_solver_factory(solver_name)
+        if "ordering" in inspect.signature(factory).parameters:
+            factory = functools.partial(
+                factory, ordering=nlp.options.str_("linear_solver_sparse_ordering")
+            )
+        self._factory = factory
+        self.n = nlp.n
+        self.m_eq = nlp.m_eq
+        self.m_ineq = nlp.m_ineq
+        n, me, mi = self.n, self.m_eq, self.m_ineq
+        self.ntot = n + me + mi
+
+        hr = np.asarray(nlp.hess_rows)
+        hc = np.asarray(nlp.hess_cols)
+        jer = np.asarray(nlp.jac_eq_rows)
+        jec = np.asarray(nlp.jac_eq_cols)
+        jir = np.asarray(nlp.jac_in_rows)
+        jic = np.asarray(nlp.jac_in_cols)
+        off = hr != hc
+
+        yc0, yd0 = n, n + me
+        rows = [hr, hc[off]]                      # H upper + strict-lower mirror
+        cols = [hc, hr[off]]
+        rows += [np.arange(n)]                    # Dx + delta_wx
+        cols += [np.arange(n)]
+        rows += [yc0 + jer, jec]                  # Jc and Jc^T
+        cols += [jec, yc0 + jer]
+        rows += [yd0 + jir, jic]                  # Jd and Jd^T
+        cols += [jic, yd0 + jir]
+        rows += [yc0 + np.arange(me)]             # -delta_cc
+        cols += [yc0 + np.arange(me)]
+        ii = np.arange(mi)
+        rows += [yd0 + ii]                        # -(Dd_tot)^{-1} - delta_cd
+        cols += [yd0 + ii]
+        self._rows = np.concatenate(rows)
+        self._cols = np.concatenate(cols)
+        self._off = off
+        self._solver = None
+        self._dd_inv = None
+        self.last_inertia = None
+
+    def factorize(self, hvals, Dx, Dd, je_vals, ji_vals, deltas) -> bool:
+        import scipy.sparse as sp
+
+        dwx, dwd, dcc, dcd = deltas
+        n, me, mi = self.n, self.m_eq, self.m_ineq
+        hvals = np.asarray(hvals, dtype=np.float64)
+        dd_tot = np.asarray(Dd, dtype=np.float64) + dwd
+        dd_inv = np.where(dd_tot > 0, 1.0 / np.maximum(dd_tot, 1e-300), 0.0)
+        self._dd_inv = dd_inv
+        je_vals = np.asarray(je_vals, dtype=np.float64)
+        ji_vals = np.asarray(ji_vals, dtype=np.float64)
+        vals = np.concatenate(
+            [
+                hvals,
+                hvals[self._off],
+                np.asarray(Dx, dtype=np.float64) + dwx,
+                je_vals, je_vals,
+                ji_vals, ji_vals,
+                np.full(me, -dcc),
+                -(dd_inv + dcd),
+            ]
+        )
+        A = sp.coo_matrix(
+            (vals, (self._rows, self._cols)), shape=(self.ntot, self.ntot)
+        ).tocsc()
+        try:
+            self._solver = self._factory(A)
+        except RuntimeError:
+            self._solver = None
+            self.last_inertia = None
+            return False
+        inert = getattr(self._solver, "inertia", None)
+        self.last_inertia = inert() if callable(inert) else None
+        return True
+
+    def solve(self, rx_t, rd_t, ryc, ryd):
+        n, me, mi = self.n, self.m_eq, self.m_ineq
+        rd_t = np.asarray(rd_t, dtype=np.float64)
+        ryd_t = np.asarray(ryd, dtype=np.float64) + self._dd_inv * rd_t
+        rhs = np.concatenate([np.asarray(rx_t), np.asarray(ryc), ryd_t])
+        sol = self._solver.solve(rhs)
+        if not np.all(np.isfinite(sol)):
+            return None
+        dx = sol[:n]
+        dyc = sol[n:n + me]
+        dyd = sol[n + me:]
+        dd = self._dd_inv * (rd_t + dyd)
+        return dx, dd, dyc, dyd

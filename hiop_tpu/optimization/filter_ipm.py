@@ -200,7 +200,7 @@ class _NewtonDenseStrategy:
         # equalities), 'normaleqn' a diagonal Hessian; both force the
         # inertia-free acceptor since their Cholesky has no inertia info.
         self.kkt_kind = o.str_("KKTLinsys")
-        if self.kkt_kind in ("auto", "xycyd"):
+        if self.kkt_kind == "auto":
             self.kkt_kind = "xdycyd"
         if self.kkt_kind == "condensed" and nlp.m_eq > 0:
             raise ValueError("condensed KKT requires an inequality-only NLP")
@@ -236,7 +236,7 @@ class _NewtonDenseStrategy:
         self._chronic_delta = 0
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
-        _maybe_escalate_chronic(self, self.kkt_kind == "xdycyd")
+        _maybe_escalate_chronic(self, self.kkt_kind in ("xdycyd", "xycyd"))
         with self.stats.kkt.tm_update_init:
             self._H = self.nlp.eval_hess(it.x, 1.0, it.yc, it.yd)
             self._Dx, self._Dd = res_mod.barrier_diagonals(it, b)
@@ -287,6 +287,18 @@ class _NewtonDenseStrategy:
                 )
             if self._safe_mode:
                 tier = self._safe_tiers[self._safe_mode - 1]
+                if self.kkt_kind == "xycyd":
+                    # the distinct 3x3 XYcYd realization: d eliminated via
+                    # the (Dd+delta_wd)^{-1} block (hiopKKTLinSys.hpp:292)
+                    fact = (
+                        kkt_nd.factorize_xycyd_safe_device
+                        if tier == "ldl_nopiv"
+                        else kkt_nd.factorize_xycyd_safe
+                    )
+                    return fact(
+                        H, Dx, Dd, Jc, Jd,
+                        p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
+                    )
                 if tier == "ldl_nopiv":
                     return kkt_nd.factorize_safe_device(
                         H, Dx, Dd, Jc, Jd,
@@ -296,6 +308,10 @@ class _NewtonDenseStrategy:
                     H, Dx, Dd, Jc, Jd,
                     p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
                 )
+            # the quick tier's range-space (Schur) elimination of x produces
+            # the SAME reduced system for both compressed linearizations, so
+            # xycyd and xdycyd share it; the realizations differ in the safe
+            # tiers' assembled matrices
             return kkt_nd.factorize_quick(
                 H, Dx, Dd, Jc, Jd,
                 p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd,
@@ -311,7 +327,21 @@ class _NewtonDenseStrategy:
         elif self.kkt_kind == "normaleqn":
             out = kkt_ne.solve(f, rx_t, rd_t, ryc, ryd)
         elif self._safe_mode:
-            if isinstance(f, kkt_nd.DeviceLdlFactors):
+            if isinstance(
+                f, (kkt_nd.XycydSafeFactors, kkt_nd.XycydDeviceLdlFactors)
+            ):
+                # 3x3 solve in (dx, dyc, dyd); recover dd from the d-row
+                # (hiopKKTLinSys.cpp:620,670): ryd_t = ryd + Dd_tot^{-1} rd_t,
+                # dd = Dd_tot^{-1} (rd_t + dyd)
+                dd_tot = (self._Dd + self.perturb.delta_wd).astype(rd_t.dtype)
+                dd_inv = jnp.where(
+                    dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0
+                )
+                ryd_t = ryd + dd_inv * rd_t
+                dx, dyc, dyd = kkt_nd.solve_xycyd_safe(f, rx_t, ryc, ryd_t)
+                dd = dd_inv * (rd_t.astype(dyd.dtype) + dyd)
+                out = (dx, dd, dyc, dyd)
+            elif isinstance(f, kkt_nd.DeviceLdlFactors):
                 out = kkt_nd.solve_safe_device(f, rx_t, rd_t, ryc, ryd)
             else:
                 out = kkt_nd.solve_safe(f, rx_t, rd_t, ryc, ryd)
@@ -331,7 +361,9 @@ class _NewtonDenseStrategy:
                 # singularity handler, which bumps delta_c first and falls
                 # through to the delta_w curve on repeats (the reference's
                 # handling of a MAGMA-Nopiv zero pivot).
-                return False, isinstance(f, kkt_nd.DeviceLdlFactors)
+                return False, isinstance(
+                    f, (kkt_nd.DeviceLdlFactors, kkt_nd.XycydDeviceLdlFactors)
+                )
             n_neg = int(f.n_neg_eig)
             if n_neg < 0:
                 return False, True
@@ -385,7 +417,7 @@ class _NewtonDenseStrategy:
                 if not ok:
                     if (
                         self._safe_mode < len(self._safe_tiers)
-                        and self.kkt_kind == "xdycyd"
+                        and self.kkt_kind in ("xdycyd", "xycyd")
                         and self.linsol_mode != "forcequick"
                     ):
                         # escalate through the safe tiers (switch_to_safer_KKT)
@@ -407,7 +439,9 @@ class _NewtonDenseStrategy:
                 else:
                     dir_full = None
                     dx, dd, dyc, dyd = self._solve_factors(f, rx_t, rd_t, ryc, ryd)
-                    if self.fact_dtype != jnp.float64 and self.kkt_kind == "xdycyd":
+                    if self.fact_dtype != jnp.float64 and self.kkt_kind in (
+                        "xdycyd", "xycyd",
+                    ):
                         dx, dd, dyc, dyd = self._inner_refine(
                             f, (rx_t, rd_t, ryc, ryd), (dx, dd, dyc, dyd)
                         )
@@ -604,7 +638,7 @@ class _SparseDirectStrategy:
     MAX_REFACT = 10
 
     def __init__(self, nlp, logger, stats):
-        from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
+        from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT, SparseXYcYdKKT
 
         o = nlp.options
         self.nlp = nlp
@@ -614,7 +648,12 @@ class _SparseDirectStrategy:
         self.neg_curv_fact = o.num("neg_curv_test_fact")
         self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
         self._solver_name = o.str_("linear_solver_sparse")
-        self.kkt = SparseXDYcYdKKT(nlp, self._solver_name)
+        # xycyd selects the 3-block realization (shared acceptance: both
+        # linearizations expect m_eq + m_ineq negative eigenvalues)
+        self._kkt_cls = (
+            SparseXYcYdKKT if o.str_("KKTLinsys") == "xycyd" else SparseXDYcYdKKT
+        )
+        self.kkt = self._kkt_cls(nlp, self._solver_name)
         self._mu = 1.0
         self._state = None
         self._chronic_delta = 0
@@ -627,7 +666,6 @@ class _SparseDirectStrategy:
         consecutive regularized iterations, rebuild on the pivot-sign
         inertia backend (native_ldl, the MA57 role) so delta_w can return
         to ~0 whenever the true reduced Hessian is PD."""
-        from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
         from hiop_tpu.linalg import solver_registry
 
         if self.perturb.delta_wx > 0.0:
@@ -640,7 +678,7 @@ class _SparseDirectStrategy:
             and solver_registry.has_solver("native_ldl")
         ):
             self._solver_name = "native_ldl"
-            self.kkt = SparseXDYcYdKKT(self.nlp, "native_ldl")
+            self.kkt = self._kkt_cls(self.nlp, "native_ldl")
             self._chronic_delta = 0
             self.log.printf(
                 Verbosity.SCALARS,
@@ -2158,7 +2196,7 @@ class FilterIPMNewton(FilterIPMBase):
         ):
             return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
         if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") in (
-            "auto", "xdycyd",
+            "auto", "xdycyd", "xycyd",
         ):
             from hiop_tpu.linalg import solver_registry
 
