@@ -22,6 +22,18 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# TPU MXU float32 matmuls default to ONE bf16 pass (~8 mantissa bits) — fatal
+# for KKT factorizations (measured: the blocked no-pivot LDL^T miscounts the
+# inertia and its factor error reaches 1e5x at default precision, while at
+# 'highest' it matches the CPU result). Every f32 matmul in this library is
+# real linear algebra feeding a factorization or a Krylov solve, so the
+# library-wide default is full-f32 ('highest' = 6-pass bf16 emulation).
+# Override with HIOP_TPU_MATMUL_PRECISION={default,high,highest}.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("HIOP_TPU_MATMUL_PRECISION", "highest"),
+)
+
 # The host environment may force a platform at interpreter start (e.g. a
 # sitecustomize registering a TPU plugin overrides JAX_PLATFORMS). Honor an
 # explicit override so CLI drivers/tests can pick the backend:

@@ -68,7 +68,9 @@ def _factor_diag_block(S):
         Li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0)            # (B,)
         Li_strict = jnp.where(row_ids < i, Li, 0.0)
         # (1,B)@(B,B): Mosaic cannot lower a rank-1 vec@mat contraction
-        acc = (Li_strict[None, :] @ X)[0]                             # (B,)
+        acc = jnp.dot(
+            Li_strict[None, :], X, precision=jax.lax.Precision.HIGHEST
+        )[0]                                                          # (B,)
         e_i = (row_ids == i).astype(dt)
         diag = jnp.sum(jnp.where((rows == i) & (cols == i), L, 0.0))
         inv_d = jnp.where(diag > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 0.0)
@@ -96,12 +98,15 @@ def _chol_kernel(a_ref, o_ref):
         Lmask = jnp.where(col_ids_full < kB, M, 0.0)               # done columns
         Lk = jnp.where(col_ids_row < kB, o_ref[pl.ds(kB, B), :], 0.0)  # (B, n)
         Akk = o_ref[pl.ds(kB, B), pl.ds(kB, B)]
-        S = Akk - jnp.dot(Lk, Lk.T, preferred_element_type=dt)
+        # full-f32 panel updates: the TPU default (one bf16 pass) loses the
+        # trailing Schur updates' precision and breaks ill-conditioned factors
+        hp = jax.lax.Precision.HIGHEST
+        S = Akk - jnp.dot(Lk, Lk.T, preferred_element_type=dt, precision=hp)
         L, Linv = _factor_diag_block(S)
 
         Acol = o_ref[:, pl.ds(kB, B)]                              # (n, B)
-        W = Acol - jnp.dot(Lmask, Lk.T, preferred_element_type=dt)
-        P = jnp.dot(W, Linv.T, preferred_element_type=dt)          # (n, B)
+        W = Acol - jnp.dot(Lmask, Lk.T, preferred_element_type=dt, precision=hp)
+        P = jnp.dot(W, Linv.T, preferred_element_type=dt, precision=hp)  # (n, B)
 
         below = row_ids_colblk >= kB + B
         o_ref[:, pl.ds(kB, B)] = jnp.where(below, P, 0.0)

@@ -92,7 +92,9 @@ def _unit_lower_inverse(L):
         Li = jnp.sum(jnp.where(rows == i, L, 0.0), axis=0)
         Li_strict = jnp.where(col_ids < i, Li, 0.0)
         # (1,B)@(B,B): Mosaic cannot lower a rank-1 vec@mat contraction
-        acc = (Li_strict[None, :] @ X)[0]
+        acc = jnp.dot(
+            Li_strict[None, :], X, precision=jax.lax.Precision.HIGHEST
+        )[0]
         e_i = (col_ids == i).astype(dt)
         row = e_i - acc
         return jnp.where(rows == i, row[None, :], X)
@@ -118,12 +120,16 @@ def _ldl_panel_math(Akk, Acol, LD, Lk, LDk):
 
     Returns (Lkk, dk, P) with P = (Acol - LD Lk^T) Lkk^{-T} diag(dk)^{-1}."""
     dt = Akk.dtype
-    S = Akk - jnp.dot(LDk, Lk.T, preferred_element_type=dt)
+    # explicit full-f32 precision: at the TPU default (one bf16 pass) the
+    # trailing updates destroy the pivots — measured 1e5x factor error and a
+    # wrong inertia count on a cond=1e5 saddle matrix
+    hp = jax.lax.Precision.HIGHEST
+    S = Akk - jnp.dot(LDk, Lk.T, preferred_element_type=dt, precision=hp)
     Lkk, dk = _ldl_diag_block(S)
     Lkk_inv = _unit_lower_inverse(Lkk)
-    W = Acol - jnp.dot(LD, Lk.T, preferred_element_type=dt)
+    W = Acol - jnp.dot(LD, Lk.T, preferred_element_type=dt, precision=hp)
     inv_d = jnp.where(jnp.abs(dk) > 0, 1.0 / jnp.where(dk == 0, 1.0, dk), 0.0)
-    P = jnp.dot(W, Lkk_inv.T, preferred_element_type=dt) * inv_d[None, :]
+    P = jnp.dot(W, Lkk_inv.T, preferred_element_type=dt, precision=hp) * inv_d[None, :]
     return Lkk, dk, P
 
 

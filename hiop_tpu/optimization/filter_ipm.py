@@ -254,8 +254,16 @@ class _NewtonDenseStrategy:
         parameter is large enough that the KKT conditioning (~1/mu from the
         log-barrier diagonal) fits f32; switch to f64 as mu -> 0. This is
         the practical mixed-precision schedule for condensed IPM systems
-        (cf. the ReSolve/condensed-IPM-on-GPU literature, PAPERS.md)."""
-        if self._fact_dtype_opt == jnp.float64:
+        (cf. the ReSolve/condensed-IPM-on-GPU literature, PAPERS.md).
+
+        Safe mode always factorizes in f64: its inertia-revealing no-pivot
+        LDL^T meets genuinely indefinite, near-singular saddles where f32
+        pivots fall below the breakdown threshold and the regularization
+        ladder thrashes (measured on the ACOPF driver: delta_wx ramped to
+        1e8 with every factorization reporting breakdown). The reference
+        draws the same line: linsol_mode=stable escalation trades speed for
+        a stable factorization (hiopAlgFilterIPM.cpp:3335)."""
+        if self._fact_dtype_opt == jnp.float64 or self._safe_mode:
             return jnp.float64
         return jnp.float32 if self._mu >= 1e-4 else jnp.float64
 
@@ -835,8 +843,9 @@ class _MdsStrategy:
 
     @property
     def fact_dtype(self):
-        """Mixed-precision schedule (see _NewtonDenseStrategy.fact_dtype)."""
-        if self._fact_dtype_opt == jnp.float64:
+        """Mixed-precision schedule (see _NewtonDenseStrategy.fact_dtype);
+        safe mode is always f64 for the same stability reason."""
+        if self._fact_dtype_opt == jnp.float64 or self._safe_mode:
             return jnp.float64
         return jnp.float32 if self._mu >= 1e-4 else jnp.float64
 

@@ -17,3 +17,26 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Apply @pytest.mark.slow from the checked-in duration-based list
+    (tests/slow_tests.txt) so `pytest -q` stays under ~5 minutes while
+    `pytest -m slow` covers the long tail. New tests default to the fast
+    tier until the list is regenerated (--durations=0)."""
+    import pytest
+
+    try:
+        with open(_SLOW_LIST) as f:
+            slow = {
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
