@@ -792,6 +792,96 @@ class _SparseDirectStrategy:
         )
 
 
+class _SparseFullStrategy:
+    """Sparse-direct solve of the UNREDUCED 12-block KKT for sparse NLPs
+    (hiopKKTLinSysSparseFull, hiopKKTLinSysSparse.hpp:202): O(nnz) triplet
+    assembly (kkt/full_space_sparse.py) + nonsymmetric registry LU — no
+    dense (N, N) operator is ever materialized. A nonsymmetric LU carries
+    no inertia, so acceptance is the inertia-free curvature test, the same
+    pairing the reference documents for its PARDISO-nonsym branch."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp, logger, stats):
+        from hiop_tpu.kkt.full_space_sparse import SparseFullKKT
+
+        o = nlp.options
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(o, for_newton=True)
+        self.neg_curv_fact = o.num("neg_curv_test_fact")
+        name = o.str_("linear_solver_sparse")
+        self.kkt = SparseFullKKT(nlp, "splu" if name == "auto" else name)
+        self._mu = 1.0
+        self._state = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        import numpy as np
+
+        with self.stats.kkt.tm_update_init:
+            nlp = self.nlp
+            if hasattr(Jc, "vals"):
+                je_vals, ji_vals = np.asarray(Jc.vals), np.asarray(Jd.vals)
+            else:
+                je_vals = np.asarray(Jc)[nlp.jac_eq_rows, nlp.jac_eq_cols]
+                ji_vals = np.asarray(Jd)[nlp.jac_in_rows, nlp.jac_in_cols]
+            h_vals = np.asarray(nlp.eval_hess_vals(it.x, 1.0, it.yc, it.yd))
+            self._state = (h_vals, je_vals, ji_vals)
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
+
+    def _curvature_ok(self, dx, dd, Dx, Dd) -> bool:
+        import numpy as np
+
+        h_vals, _, _ = self._state
+        nlp, p = self.nlp, self.perturb
+        hr, hc = nlp.hess_rows, nlp.hess_cols
+        dx = np.asarray(dx)
+        dd = np.asarray(dd)
+        w = np.where(np.asarray(hr) == np.asarray(hc), 1.0, 2.0)
+        quad = (
+            float(np.sum(w * h_vals * dx[hr] * dx[hc]))
+            + float(np.sum((np.asarray(Dx) + p.delta_wx) * dx * dx))
+            + float(np.sum((np.asarray(Dd) + p.delta_wd) * dd * dd))
+        )
+        return quad >= self.neg_curv_fact * float(dx @ dx + dd @ dd)
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds):
+        h_vals, je_vals, ji_vals = self._state
+        Dx, Dd = res_mod.barrier_diagonals(it, b)
+        n_corr = 0
+        for _ in range(self.MAX_REFACT):
+            p = self.perturb
+            deltas = (p.delta_wx, p.delta_wd, p.delta_cc, p.delta_cd)
+            with self.stats.kkt.tm_update_fact:
+                ok = self.kkt.factorize(h_vals, je_vals, ji_vals, it, b, deltas)
+            if ok:
+                with self.stats.kkt.tm_solve_inner:
+                    dir_ = self.kkt.solve(resid)
+            if not ok or dir_ is None:
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                # LU failure on the unreduced system can only signal
+                # (near-)singularity (no inertia): delta_c handler
+                if not self.perturb.compute_perturb_singularity():
+                    raise _StepComputationError("full-KKT regularization exhausted")
+                continue
+            if not self._curvature_ok(dir_.x, dir_.d, Dx, Dd):
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not self.perturb.compute_perturb_wrong_inertia():
+                    raise _StepComputationError("curvature regularization exhausted")
+                continue
+            self.perturb.update_fact_ok()
+            return dir_, True
+        raise _StepComputationError("max refactorizations reached")
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        return self.kkt.solve(resid)
+
+
 class _MdsStrategy:
     """Mixed dense-sparse KKT (hiopKKTLinSysCompressedMDSXYcYd): diagonal
     sparse Hessian block eliminated, dense block Cholesky, Schur Cholesky
@@ -840,6 +930,16 @@ class _MdsStrategy:
         self._js_pairs = _kkt_mds.build_schur_pairs(
             stacked_rows, stacked_cols, nlp.n_sparse
         )
+        self._js_rows = stacked_rows
+        self._js_cols = stacked_cols
+        # bordered sparse host safe tier first (MdsSchurHostFactors): the
+        # saddle's m x m block is network-sparse, so the native
+        # inertia-reporting LDL^T + a tiny dense Schur border beats a dense
+        # (n_d + m)^2 factorization by orders of magnitude at ACOPF scale
+        from hiop_tpu.native.ldl import native_available as _native_ok
+
+        if self._js_pairs is not None and _native_ok():
+            self._safe_tiers = ("schur_sparse_ldl",) + tuple(self._safe_tiers)
 
     @property
     def fact_dtype(self):
@@ -893,6 +993,18 @@ class _MdsStrategy:
         with self.stats.kkt.tm_update_fact:
             if self._safe_mode:
                 tier = self._safe_tiers[self._safe_mode - 1]
+                if tier == "schur_sparse_ldl":
+                    import numpy as _np
+
+                    p_ = self.perturb
+                    Jdn = jnp.concatenate([d["Jc_d"], d["Jd_d"]], axis=0)
+                    return kkt_mds.factorize_safe_schur(
+                        d["hss"], d["Hdd"], d["Dxs"], d["Dxd"], d["Dd"],
+                        _np.asarray(Jdn), self._js_rows, self._js_cols,
+                        _np.asarray(d["js_vals"]), self._js_pairs,
+                        p_.delta_wx, p_.delta_wd, p_.delta_cc, p_.delta_cd,
+                        self.nlp.m_eq, self.nlp.m_ineq,
+                    )
                 return kkt_mds.factorize_safe(*args, host=(tier == "lu_eig"))
             if self._js_pairs is not None:
                 return kkt_mds.factorize(
@@ -909,10 +1021,12 @@ class _MdsStrategy:
         if self.fact_dtype != jnp.float64:
             rx_t, rd_t = self._cast(rx_t), self._cast(rd_t)
             ryc, ryd = self._cast(ryc), self._cast(ryd)
-        solver = (
-            kkt_mds.solve_safe if isinstance(f, kkt_mds.MdsSafeFactors)
-            else kkt_mds.solve
-        )
+        if isinstance(f, kkt_mds.MdsSchurHostFactors):
+            solver = kkt_mds.solve_safe_schur
+        elif isinstance(f, kkt_mds.MdsSafeFactors):
+            solver = kkt_mds.solve_safe
+        else:
+            solver = kkt_mds.solve
         dxs, dxd, dd, dyc, dyd = solver(
             f, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
         )
@@ -2204,6 +2318,8 @@ class FilterIPMNewton(FilterIPMBase):
             and self.nlp.matrix_free
         ):
             return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
+        if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") == "full":
+            return _SparseFullStrategy(self.nlp, self.log, self.nlp.runstats)
         if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") in (
             "auto", "xdycyd", "xycyd",
         ):
