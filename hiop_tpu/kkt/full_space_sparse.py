@@ -17,8 +17,8 @@ The row/column ordering matches :mod:`hiop_tpu.kkt.full_space`'s compound
 flattening [x, d, yc, yd, sxl, sxu, sdl, sdu, zl, zu, vl, vu] (the
 reference's hiopVectorCompoundPD layout), and inactive bound rows carry a
 unit diagonal so the decoupled entries solve to zero — identical semantics
-to ``full_space.assemble_full``, verified by the equivalence test in
-tests/test_kkt_variants.py.
+to ``full_space.assemble_full``, verified entry-by-entry at a live iterate
+by tests/test_kkt_variants.py::test_full_kkt_coo_assembly_matches_dense_operator.
 
 No inertia is available from a nonsymmetric LU, so callers pair this with
 the inertia-free curvature acceptor — the same constraint the reference's

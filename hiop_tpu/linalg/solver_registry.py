@@ -19,12 +19,28 @@ from __future__ import annotations
 from typing import Callable, Dict
 
 _REGISTRY: Dict[str, Callable] = {}
+_SYMMETRIC_ONLY: set = set()
 
 
-def register_solver(name: str, factory: Callable) -> None:
+def register_solver(name: str, factory: Callable, symmetric_only: bool = False) -> None:
     """Register ``factory(csc_matrix) -> solver-with-.solve(rhs)`` under
-    ``name`` (selectable via the ``linear_solver_sparse`` option)."""
+    ``name`` (selectable via the ``linear_solver_sparse`` option).
+
+    ``symmetric_only`` marks backends that read only one triangle (e.g. an
+    LDL^T): they must not be handed nonsymmetric systems such as the
+    unreduced full-space KKT (the reference restricts that class to
+    nonsymmetric PARDISO/STRUMPACK, hiopKKTLinSysSparse.cpp:845-849)."""
     _REGISTRY[name] = factory
+    if symmetric_only:
+        _SYMMETRIC_ONLY.add(name)
+    else:
+        _SYMMETRIC_ONLY.discard(name)
+
+
+def is_symmetric_only(name: str) -> bool:
+    """True if the backend factorizes only symmetric matrices (reads one
+    triangle) and is therefore invalid for nonsymmetric systems."""
+    return name in _SYMMETRIC_ONLY
 
 
 def get_solver_factory(name: str) -> Callable:
@@ -122,4 +138,4 @@ def _native_ldl_factory(A_csc, ordering: str = "auto"):
     return NativeLdlFactorization(A_csc, ordering=ord_map.get(ordering, "none"))
 
 
-register_solver("native_ldl", _native_ldl_factory)
+register_solver("native_ldl", _native_ldl_factory, symmetric_only=True)

@@ -812,7 +812,19 @@ class _SparseFullStrategy:
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
         name = o.str_("linear_solver_sparse")
-        self.kkt = SparseFullKKT(nlp, "splu" if name == "auto" else name)
+        name = "splu" if name == "auto" else name
+        from hiop_tpu.linalg import solver_registry as _reg
+
+        if _reg.is_symmetric_only(name):
+            # a one-triangle LDL^T backend would silently factorize the
+            # symmetrized unreduced KKT and produce wrong directions; the
+            # reference restricts this class to nonsymmetric solvers
+            # (hiopKKTLinSysSparse.cpp:845-849)
+            raise ValueError(
+                f"KKTLinsys=full requires a nonsymmetric-capable sparse solver; "
+                f"{name!r} is symmetric-only (set linear_solver_sparse=splu/auto)"
+            )
+        self.kkt = SparseFullKKT(nlp, name)
         self._mu = 1.0
         self._state = None
 
@@ -879,7 +891,14 @@ class _SparseFullStrategy:
         raise _StepComputationError("max refactorizations reached")
 
     def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
-        return self.kkt.solve(resid)
+        dir_ = self.kkt.solve(resid)
+        if dir_ is None:
+            # non-finite LU solution on the current factorization: surface a
+            # handled step-computation failure (SOC/soft-FR callers treat it
+            # as "correction unavailable") instead of returning None into
+            # fraction_to_the_boundary
+            raise _StepComputationError("full-KKT solve produced non-finite direction")
+        return dir_
 
 
 class _MdsStrategy:
@@ -1873,7 +1892,10 @@ class FilterIPMBase:
             c_soc = alpha_soc * c_soc + (crhs - c_trial)
             d_soc = alpha_soc * d_soc + (it_curr.d - d_trial)
             res_soc = resid._replace(ryc=c_soc, ryd=d_soc)
-            dir_soc = strategy.solve_rhs(res_soc, it_curr, b)
+            try:
+                dir_soc = strategy.solve_rhs(res_soc, it_curr, b)
+            except _StepComputationError:
+                return None  # SOC is best-effort: fall back to plain backtracking
             ap, ad = it_mod.fraction_to_the_boundary(it_curr, dir_soc, tau, b)
             alpha_soc, alpha_dual_soc = float(ap), float(ad)
             it_trial = it_mod.take_step_primals(it_curr, dir_soc, alpha_soc)
@@ -1921,7 +1943,10 @@ class FilterIPMBase:
                 res_trial, _ = self._update_residual(
                     it_trial, c_trial, d_trial, grad_f, Jc, Jd, b, mu
                 )
-                soft_dir = strategy.solve_rhs(res_trial, it_curr, b)
+                try:
+                    soft_dir = strategy.solve_rhs(res_trial, it_curr, b)
+                except _StepComputationError:
+                    return None  # soft FR is best-effort: escalate to full FR
             ap, ad = it_mod.fraction_to_the_boundary(it_curr, soft_dir, tau, b)
             alpha = min(float(ap), float(ad))  # cpp:3288 equalizes the steps
             it_trial = it_mod.take_step_primals(it_curr, soft_dir, alpha)

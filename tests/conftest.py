@@ -38,5 +38,9 @@ def pytest_collection_modifyitems(config, items):
     except OSError:
         return
     for item in items:
-        if item.nodeid in slow:
+        # Node ids in slow_tests.txt carry a "tests/" prefix (rootdir = repo
+        # root). When pytest is invoked from inside tests/, node ids lack the
+        # prefix — normalize both ways so markers apply regardless of cwd.
+        nid = item.nodeid
+        if nid in slow or f"tests/{nid}" in slow or nid.removeprefix("tests/") in slow:
             item.add_marker(pytest.mark.slow)

@@ -286,3 +286,121 @@ def test_pridec_sc_acopf_matches_extensive_form():
     r_ext = FilterIPMNewton(NlpDenseConstraints(p, o)).run()
     assert r_ext.status.is_success
     assert _rel(r_pd.obj, r_ext.obj) < 1e-5
+
+
+def _random_mds_saddle(seed=7, ns=24, nd=6, mc=10, md=4, sparsity=0.35):
+    """Random indefinite MDS saddle with a SPARSE Js given in triplet form
+    (so both the bordered-sparse and dense safe tiers can factorize it)."""
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(seed)
+    hss = rng.standard_normal(ns)                      # indefinite diagonal
+    A = rng.standard_normal((nd, nd))
+    Hdd = A @ A.T + nd * np.eye(nd)
+    Dxs = rng.uniform(0.1, 1.0, ns)
+    Dxd = rng.uniform(0.1, 1.0, nd)
+    Dd = rng.uniform(0.5, 2.0, md)
+    m = mc + md
+    mask = rng.uniform(size=(m, ns)) < sparsity
+    # make sure every row/col of Js has an entry (well-posed Schur pattern)
+    mask[np.arange(m), rng.integers(0, ns, m)] = True
+    Js = np.where(mask, rng.standard_normal((m, ns)), 0.0)
+    rows, cols = np.nonzero(Js)
+    vals = Js[rows, cols]
+    Jdn = rng.standard_normal((m, nd))
+    pairs = kkt_mds.build_schur_pairs(rows, cols, ns)
+    assert pairs is not None
+    j = lambda a: jnp.asarray(a)
+    dense_args = (
+        j(hss), j(Hdd), j(Dxs), j(Dxd), j(Dd),
+        j(Js[:mc]), j(Jdn[:mc]), j(Js[mc:]), j(Jdn[mc:]),
+    )
+    schur_args = (hss, Hdd, Dxs, Dxd, Dd, Jdn, rows, cols, vals, pairs)
+    return dense_args, schur_args, (ns, nd, mc, md)
+
+
+@pytest.mark.parametrize("deltas", [(0.0, 0.0, 1e-8, 1e-8), (0.5, 0.1, 0.0, 0.0)])
+def test_safe_schur_matches_safe(deltas):
+    """factorize_safe_schur (bordered sparse LDL^T + dense Schur border)
+    agrees with factorize_safe (host LU + eig inertia) on inertia count and
+    directions for a random indefinite MDS saddle, across regularizations."""
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import mds as kkt_mds
+    from hiop_tpu.native.ldl import native_available
+
+    if not native_available():
+        pytest.skip("native C++ LDL helper unavailable")
+    dense_args, schur_args, (ns, nd, mc, md) = _random_mds_saddle()
+    fh = kkt_mds.factorize_safe(*dense_args, *deltas, host=True)
+    fs = kkt_mds.factorize_safe_schur(*schur_args, *deltas, mc=mc, md=md)
+    assert bool(fh.ok) and bool(fs.ok)
+    assert int(fs.n_neg_eig) == int(fh.n_neg_eig)
+    rng = np.random.default_rng(11)
+    j = lambda a: jnp.asarray(a)
+    rxs, rxd = j(rng.standard_normal(ns)), j(rng.standard_normal(nd))
+    rd, ryc, ryd = (j(rng.standard_normal(k)) for k in (md, mc, md))
+    out_h = kkt_mds.solve_safe(fh, rxs, rxd, rd, ryc, ryd)
+    out_s = kkt_mds.solve_safe_schur(fs, rxs, rxd, rd, ryc, ryd)
+    for a, b in zip(out_s, out_h):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-9, rtol=1e-9)
+
+
+def test_safe_schur_breakdown_routes_to_singularity_handler():
+    """A zero entry in the eliminated diagonal block must surface as
+    n_neg_eig = -1 (the singularity route: delta_cc bump), never a solve."""
+    from hiop_tpu.kkt import mds as kkt_mds
+    from hiop_tpu.native.ldl import native_available
+
+    if not native_available():
+        pytest.skip("native C++ LDL helper unavailable")
+    dense_args, schur_args, (ns, nd, mc, md) = _random_mds_saddle(seed=9)
+    hss = np.array(schur_args[0])
+    hss[3] = -float(schur_args[2][3])  # ks[3] = hss + Dxs + 0 == 0
+    schur_args = (hss,) + schur_args[1:]
+    fs = kkt_mds.factorize_safe_schur(*schur_args, 0.0, 0.0, 0.0, 0.0, mc=mc, md=md)
+    assert int(fs.n_neg_eig) == -1
+    assert fs.fact is None  # unsolvable sentinel: acceptance must reject it
+
+
+def test_acopf_solve_forced_through_safe_schur_tier():
+    """End-to-end ACOPF solve with the strategy pinned to the
+    schur_sparse_ldl safe tier from iteration 0: converges to the same
+    objective as the default-ladder solve."""
+    import hiop_tpu.optimization.filter_ipm as fi
+    from hiop_tpu.native.ldl import native_available
+
+    if not native_available():
+        pytest.skip("native C++ LDL helper unavailable")
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+             mu0=0.1, verbosity_level=0, max_iter=300)
+    nlp = NlpMDS(am.AcopfMds(16), o)
+    solver = FilterIPMNewton(nlp)
+    orig = fi.FilterIPMNewton._make_strategy
+    used = {}
+
+    def pin(self):
+        s = orig(self)
+        assert s._safe_tiers[0] == "schur_sparse_ldl"
+        s._safe_mode = 1  # pin: every factorization goes through the tier
+        orig_fact = s._factorize
+
+        def spy():
+            f = orig_fact()
+            used.setdefault("factors", set()).add(type(f).__name__)
+            return f
+
+        s._factorize = spy
+        used["strategy"] = s
+        return s
+
+    fi.FilterIPMNewton._make_strategy = pin
+    try:
+        r = solver.run()
+    finally:
+        fi.FilterIPMNewton._make_strategy = orig
+    assert "MdsSchurHostFactors" in used["factors"]
+    assert r.status.is_success
+    r_ref = am.solve(16, sparse=False, verbosity_level=0)
+    assert _rel(r.obj, r_ref.obj) < 1e-6

@@ -347,3 +347,62 @@ def test_fgmres_gs_scheme_basis_orthonormality():
         # the post-modern correction restore it to machine precision
         atol = 1e-6 if scheme == "mgs_two_synch" else 1e-12
         assert np.allclose(G, np.eye(G.shape[0]), atol=atol), scheme
+
+
+def test_full_kkt_coo_assembly_matches_dense_operator(monkeypatch):
+    """The static-pattern COO assembly of SparseFullKKT equals the dense
+    operator materialization (full_space.assemble_full) at a LIVE iterate
+    mid-solve — the matrix-equivalence check the sparse assembler's
+    docstring promises (values, pattern, AND the inactive-bound unit
+    diagonals)."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import full_space
+    from hiop_tpu.kkt.full_space_sparse import SparseFullKKT
+
+    checked = {}
+    orig_fact = SparseFullKKT.factorize
+
+    def checking_fact(self, hvals, je_vals, ji_vals, it, b, deltas):
+        ok = orig_fact(self, hvals, je_vals, ji_vals, it, b, deltas)
+        if "done" not in checked and self_nlp is not None:
+            vals = self._values(
+                np.asarray(hvals, float), np.asarray(je_vals, float),
+                np.asarray(ji_vals, float), it, b, deltas,
+            )
+            A_coo = sp.coo_matrix(
+                (vals, (self._rows, self._cols)),
+                shape=(self.ntot, self.ntot),
+            ).toarray()
+            n = self.n
+            hr, hc = np.asarray(self_nlp.hess_rows), np.asarray(self_nlp.hess_cols)
+            H = np.zeros((n, n))
+            np.add.at(H, (hr, hc), np.asarray(hvals, float))
+            off = hr != hc
+            np.add.at(H, (hc[off], hr[off]), np.asarray(hvals, float)[off])
+            Jc = np.zeros((self.m_eq, n))
+            np.add.at(Jc, (np.asarray(self_nlp.jac_eq_rows),
+                           np.asarray(self_nlp.jac_eq_cols)),
+                      np.asarray(je_vals, float))
+            Jd = np.zeros((self.m_ineq, n))
+            np.add.at(Jd, (np.asarray(self_nlp.jac_in_rows),
+                           np.asarray(self_nlp.jac_in_cols)),
+                      np.asarray(ji_vals, float))
+            A_dense = np.asarray(full_space.assemble_full(
+                jnp.asarray(H), jnp.asarray(Jc), jnp.asarray(Jd),
+                it, b, *deltas,
+            ))
+            checked["max_abs_diff"] = float(np.abs(A_coo - A_dense).max())
+            checked["done"] = True
+        return ok
+
+    from hiop_tpu import NlpSparse, NlpOptions, FilterIPMNewton
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", tolerance=1e-8,
+             mu0=0.1, verbosity_level=0, KKTLinsys="full", max_iter=4)
+    self_nlp = NlpSparse(sx1.SparseEx1(30), o)
+    monkeypatch.setattr(SparseFullKKT, "factorize", checking_fact)
+    FilterIPMNewton(self_nlp).run()
+    assert checked.get("done"), "full-KKT factorize never ran"
+    assert checked["max_abs_diff"] < 1e-12
