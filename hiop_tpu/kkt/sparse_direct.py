@@ -139,6 +139,10 @@ class SparseXDYcYdKKT:
             [np.asarray(rx_t), np.asarray(rd_t), np.asarray(ryc), np.asarray(ryd)]
         )
         sol = self._solver.solve(rhs)
+        # a backend may invalidate its inertia mid-solve (splu's pivoted
+        # refactorization fallback); re-read so acceptance sees the truth
+        inert = getattr(self._solver, "inertia", None)
+        self.last_inertia = inert() if callable(inert) else None
         if not np.all(np.isfinite(sol)):
             return None
         return (
@@ -254,6 +258,8 @@ class SparseXYcYdKKT:
         ryd_t = np.asarray(ryd, dtype=np.float64) + self._dd_inv * rd_t
         rhs = np.concatenate([np.asarray(rx_t), np.asarray(ryc), ryd_t])
         sol = self._solver.solve(rhs)
+        inert = getattr(self._solver, "inertia", None)
+        self.last_inertia = inert() if callable(inert) else None
         if not np.all(np.isfinite(sol)):
             return None
         dx = sol[:n]

@@ -69,7 +69,19 @@ class _SpluKKT:
     no-pivoting LDL^T fast path (hiopLinSolverSymDenseMagmaNopiv) — and
     verify with one step of iterative refinement; if the no-pivot factors
     are unusable or inaccurate, refactorize with full partial pivoting
-    (the slow-but-sure mode)."""
+    (the slow-but-sure mode).
+
+    Inertia: when the symmetric no-pivot factorization is in effect
+    (perm_r == perm_c certifies that no row pivoting deviated from the
+    symmetric fill ordering), K = L·U with U = D·Lᵀ, so the SIGNS of
+    diag(U) are the pivot signs of an unpivoted LDLᵀ — the same inertia
+    source as HSL MA57's pivots (hiopLinSolverSymSparseMA57.hpp:109), at
+    SuperLU's supernodal BLAS3 speed.  This makes ``splu`` a
+    performance-class inertia-reporting symmetric-indefinite backend for
+    the quasi-definite systems the IPM produces (the ReSolve-pattern
+    answer: one supernodal factorization per iteration, inertia for free).
+    :meth:`inertia` returns None when only the pivoted fallback is
+    available (callers then use the inertia-free curvature acceptor)."""
 
     def __init__(self, A_csc, spec: str):
         import numpy as np
@@ -77,6 +89,7 @@ class _SpluKKT:
 
         self._A = A_csc
         self._lu = None
+        self._inertia = None
         try:
             lu = splu(
                 A_csc, permc_spec=spec, diag_pivot_thresh=0.0,
@@ -84,10 +97,26 @@ class _SpluKKT:
             )
             if np.all(np.isfinite(lu.L.data)) and np.all(np.isfinite(lu.U.data)):
                 self._lu = lu
+                if np.array_equal(lu.perm_r, lu.perm_c):
+                    d = lu.U.diagonal()
+                    # sign count only: a pivot of magnitude delta_cc (1e-8)
+                    # is a LEGITIMATE regularized negative pivot, so no
+                    # relative tolerance here — outright singularity shows
+                    # up as a SuperLU RuntimeError or non-finite factors
+                    # upstream, both routed to the singularity handler
+                    n_zero = int(np.sum(d == 0.0))
+                    n_neg = int(np.sum(d < 0.0))
+                    n_pos = int(np.sum(d > 0.0))
+                    self._inertia = (n_pos, n_neg, n_zero)
         except RuntimeError:
             self._lu = None
         if self._lu is None:
             self._lu = splu(A_csc, permc_spec=spec)  # pivoted fallback
+
+    def inertia(self):
+        """(n_pos, n_neg, n_zero) from the no-pivot factor diagonal, or
+        None when only the pivoted (inertia-less) factorization holds."""
+        return self._inertia
 
     def solve(self, rhs):
         import numpy as np
@@ -100,6 +129,10 @@ class _SpluKKT:
             from scipy.sparse.linalg import splu
 
             # no-pivot factors too inaccurate for this matrix: redo pivoted
+            # (and drop the inertia derived from them — it is no longer
+            # trustworthy; callers re-reading inertia() fall back to the
+            # curvature acceptor)
+            self._inertia = None
             self._lu = splu(self._A, permc_spec="MMD_AT_PLUS_A")
             x = self._lu.solve(rhs)
             x = x + self._lu.solve(rhs - self._A @ x)

@@ -655,7 +655,8 @@ class _SparseDirectStrategy:
         self.perturb = make_perturbation(o, for_newton=True)
         self.neg_curv_fact = o.num("neg_curv_test_fact")
         self.inertia_free = o.str_("fact_acceptor") == "inertia_free"
-        self._solver_name = o.str_("linear_solver_sparse")
+        name = o.str_("linear_solver_sparse")
+        self._solver_name = "splu" if name == "auto" else name
         # xycyd selects the 3-block realization (shared acceptance: both
         # linearizations expect m_eq + m_ineq negative eigenvalues)
         self._kkt_cls = (
@@ -684,6 +685,10 @@ class _SparseDirectStrategy:
             self._chronic_delta >= 4
             and self._solver_name != "native_ldl"
             and solver_registry.has_solver("native_ldl")
+            # splu now reports diag(U) pivot-sign inertia when its no-pivot
+            # symmetric mode holds; only escalate when the current backend
+            # is actually inertia-less (pivoted fallback in effect)
+            and self.kkt.last_inertia is None
         ):
             self._solver_name = "native_ldl"
             self.kkt = self._kkt_cls(self.nlp, "native_ldl")
@@ -764,7 +769,15 @@ class _SparseDirectStrategy:
                 if nzero > 0 or nneg != self.nlp.m_eq + self.nlp.m_ineq:
                     n_corr += 1
                     self.stats.kkt.n_update_corrections = n_corr
-                    if not self.perturb.compute_perturb_wrong_inertia():
+                    # zero pivots signal a singular system (rank-deficient
+                    # Jacobian rows): the delta_c handler, not the delta_w
+                    # curve (hiopPDPerturbation's csingular vs cwrong split)
+                    ok_p = (
+                        self.perturb.compute_perturb_singularity()
+                        if nzero > 0
+                        else self.perturb.compute_perturb_wrong_inertia()
+                    )
+                    if not ok_p:
                         raise _StepComputationError(
                             "inertia regularization exhausted"
                         )
@@ -2352,6 +2365,13 @@ class FilterIPMNewton(FilterIPMBase):
 
             ls = self.opts.str_("linear_solver_sparse")
             if ls != "auto" and solver_registry.has_solver(ls):
+                return _SparseDirectStrategy(self.nlp, self.log, self.nlp.runstats)
+            # auto: above this size the dense XDYcYd assembly/factorization
+            # is O(N^2)/O(N^3) while the sparse-direct path is fill-limited
+            # with supernodal BLAS3 + diag(U) pivot-sign inertia (the splu
+            # backend); mirrors decideAndCreateLinearSystem picking the
+            # sparse KKT class for hiopNlpSparse (hiopKKTLinSysSparse.cpp)
+            if ls == "auto" and self.nlp.n + self.nlp.m_eq + self.nlp.m_ineq >= 2000:
                 return _SparseDirectStrategy(self.nlp, self.log, self.nlp.runstats)
         return _NewtonDenseStrategy(self.nlp, self.log, self.nlp.runstats)
 

@@ -320,3 +320,41 @@ def test_random_sparse_ineq_qp_condensed_and_normaleqn(seed):
         r = Newton(NlpSparse(sp_i, oi)).run()
         assert r.status.is_success, extra
         assert abs(r.obj - ref.obj) < 1e-5 * (1 + abs(ref.obj)), extra
+
+
+@pytest.mark.parametrize("seed", [50, 51, 52])
+def test_splu_inertia_matches_eig_across_reg_ladder(seed):
+    """The splu backend's diag(U) pivot-sign inertia equals the eigenvalue
+    count of the assembled XDYcYd augmented system across the
+    regularization ladder (zero deltas, delta_c only, delta_w only, both),
+    on random sparse KKT structures with indefinite Hessians."""
+    import numpy as np
+    import scipy.sparse as sp
+    from hiop_tpu.linalg.solver_registry import _splu_factory
+
+    rng = np.random.default_rng(seed)
+    n, me, mi = 60, 12, 18
+    A = sp.random(n, n, density=0.08, random_state=seed)
+    H = (A + A.T) + sp.diags(rng.uniform(-1.0, 2.0, n))   # indefinite
+    Jc = sp.random(me, n, density=0.2, random_state=seed + 1) + sp.eye(me, n)
+    Jd = sp.random(mi, n, density=0.2, random_state=seed + 2) + sp.eye(mi, n, k=5)
+    Dx = rng.uniform(0.1, 1.0, n)
+    Dd = rng.uniform(0.1, 1.0, mi)
+    for dwx, dcc in [(0.0, 1e-8), (0.0, 1e-2), (1.0, 1e-8), (10.0, 0.5)]:
+        K = sp.bmat([
+            [H + sp.diags(Dx + dwx), None, Jc.T, Jd.T],
+            [None, sp.diags(Dd + dwx), None, -sp.eye(mi)],
+            [Jc, None, -dcc * sp.eye(me), None],
+            [Jd, -sp.eye(mi), None, -dcc * sp.eye(mi)],
+        ], format="csc")
+        K = (K + K.T) * 0.5
+        s = _splu_factory(K.tocsc(), "amd")
+        inert = s.inertia()
+        assert inert is not None, (dwx, dcc)
+        w = np.linalg.eigvalsh(K.toarray())
+        true = (int(np.sum(w > 0)), int(np.sum(w < 0)), int(np.sum(w == 0)))
+        assert inert == true, (dwx, dcc, inert, true)
+        # and the factorization actually solves
+        b = rng.standard_normal(K.shape[0])
+        x = s.solve(b)
+        assert np.linalg.norm(K @ x - b) < 1e-7 * (1 + np.linalg.norm(b))
