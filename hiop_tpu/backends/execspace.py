@@ -34,11 +34,14 @@ class ExecSpaceInfo:
         compute = options.str_("compute_mode")
         device = None
         try:
+            # local_devices, not devices: in a multi-process job (jax
+            # distributed, SURVEY.md §2.9) the global list contains
+            # non-addressable peers and device_put to them is an error
             if compute == "cpu":
-                device = jax.devices("cpu")[0]
+                device = jax.local_devices(backend="cpu")[0]
             elif compute in ("auto", "tpu", "gpu", "hybrid"):
-                accel = [d for d in jax.devices() if d.platform != "cpu"]
-                device = accel[0] if accel else jax.devices()[0]
+                accel = [d for d in jax.local_devices() if d.platform != "cpu"]
+                device = accel[0] if accel else jax.local_devices()[0]
         except RuntimeError:
             device = None
         backend = "pallas" if options.str_("exec_policies") == "pallas" else "xla"

@@ -27,12 +27,22 @@ class NlpDenseConstraints(NlpFormulation):
     def maybe_setup_scaling(self, x0) -> None:
         if self._scaling_done:
             return
-        grad0 = np.asarray(self.problem.eval_grad_f(x0))
-        jac0 = np.asarray(self.problem.eval_jac_cons(x0))
+        # reduce ON DEVICE: x0 (and hence grad/jac) may be n-axis sharded
+        # over a multi-process mesh, where gathering n-sized arrays to host
+        # is both wasteful and (for non-addressable shards) impossible; the
+        # inf-norm reductions land replicated, exactly the reference's
+        # MPI_Allreduce'd gradient norms (hiopNlpFormulation.cpp scaling)
+        import jax
+
+        grad0 = self.problem.eval_grad_f(x0)
+        jac0 = self.problem.eval_jac_cons(x0)
+        gnorm = np.asarray(jax.jit(lambda g: jnp.max(jnp.abs(g)))(grad0))
         row_norms = (
-            np.max(np.abs(jac0), axis=1) if self.m else np.zeros(0)
+            np.asarray(jax.jit(lambda j: jnp.max(jnp.abs(j), axis=1))(jac0))
+            if self.m
+            else np.zeros(0)
         )
-        self._setup_scaling(grad0, row_norms)
+        self._setup_scaling(np.asarray([gnorm]), row_norms)
 
     def eval_jac(self, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (Jc (m_eq, n), Jd (m_ineq, n)), scaled."""

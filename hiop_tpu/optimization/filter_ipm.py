@@ -1774,9 +1774,11 @@ class FilterIPMBase:
             self.solver_status.name, obj, self.iter_num,
         )
         self.log.printf(Verbosity.SCALARS, "%s", self.nlp.runstats.get_summary())
+        from hiop_tpu.parallel.mesh import to_host
+
         return SolverResult(
             status=self.solver_status,
-            x=np.asarray(it_curr.x),
+            x=to_host(it_curr.x),
             obj=obj,
             iterations=self.iter_num,
             err_nlp=err_nlp,

@@ -30,14 +30,39 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "n") -> Mesh:
     return Mesh(np.array(devs), axis_names=(axis_name,))
 
 
+def _put(a, sharding):
+    """Place replicated host data under ``sharding``.  In a multi-process
+    job the mesh spans non-addressable devices and ``jax.device_put``
+    refuses host data; every process holds the full (identical) host
+    value, so building the global array from per-shard callbacks is
+    exact (the hiopVectorPar 'local slice of a replicated source' ctor)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(a, sharding)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
 def shard_n(mesh: Mesh, a, axis_name: str = "n"):
     """Place a vector (n,) or matrix (..., n) with its last axis sharded."""
     spec = P(*([None] * (a.ndim - 1) + [axis_name]))
-    return jax.device_put(a, NamedSharding(mesh, spec))
+    return _put(a, NamedSharding(mesh, spec))
 
 
 def replicate(mesh: Mesh, a):
-    return jax.device_put(a, NamedSharding(mesh, P()))
+    return _put(a, NamedSharding(mesh, P()))
+
+
+def to_host(a) -> np.ndarray:
+    """``np.asarray`` that also works for arrays whose shards live on other
+    processes (multi-process meshes): falls back to a tiled allgather — the
+    'fetch the global vector on every rank' idiom the reference expresses
+    with MPI_Allgatherv."""
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
 
 def shard_formulation(nlp, mesh: Mesh, axis_name: str = "n") -> None:
