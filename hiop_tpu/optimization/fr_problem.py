@@ -190,16 +190,97 @@ class FeasibilityRestorationProblem(NlpProblem):
         return True
 
 
+class SparseFeasibilityRestorationProblem(FeasibilityRestorationProblem):
+    """Sparse-preserving FR NLP (hiopFRProbSparse, hiopFRProb.hpp:87).
+
+    The FR Jacobian [J_base | -I | +I] and Hessian blkdiag(H_base +
+    zeta*D_R^2, 0) are posed in TRIPLET form against the base NlpSparse
+    formulation's static structure — nnz(J) + 2m and nnz(H) + n entries —
+    so the nested IPM routes through the sparse KKT strategies and never
+    materializes the dense (m, n+2m) matrix the generic
+    :class:`FeasibilityRestorationProblem` assembles.
+
+    FR constraint rows are ordered [base eq rows; base ineq rows]; triplet
+    values reuse the base formulation's scaled split evaluation, which is
+    also what :meth:`eval_cons` (inherited) returns.
+    """
+
+    def __init__(self, base_form, x_ref, mu: float, nrmInf_feas_ref: float):
+        super().__init__(base_form, x_ref, mu, nrmInf_feas_ref)
+        b = base_form
+        nx, me, mi = self.n_x, self.m_eq, self.m_ineq
+        # base triplets in the split (eq-first) order produced by
+        # NlpSparse.eval_jac_vals_split
+        base_rows = np.concatenate([b.jac_eq_rows, me + b.jac_in_rows])
+        base_cols = np.concatenate([b.jac_eq_cols, b.jac_in_cols])
+        pn_rows = np.concatenate(
+            [np.arange(me), np.arange(me), me + np.arange(mi), me + np.arange(mi)]
+        )
+        pn_cols = nx + np.concatenate(
+            [
+                np.arange(me),                 # p_e
+                me + np.arange(me),            # n_e
+                2 * me + np.arange(mi),        # p_i
+                2 * me + mi + np.arange(mi),   # n_i
+            ]
+        )
+        self._fr_jr = np.concatenate([base_rows, pn_rows]).astype(np.int64)
+        self._fr_jc = np.concatenate([base_cols, pn_cols]).astype(np.int64)
+        self._pn_vals = np.concatenate(
+            [-np.ones(me), np.ones(me), -np.ones(mi), np.ones(mi)]
+        )
+        # Hessian upper triangle: base triplets + the x-diagonal proximal
+        # term (duplicates with existing diagonal entries scatter-add)
+        self._fr_hr = np.concatenate([b.hess_rows, np.arange(nx)]).astype(np.int64)
+        self._fr_hc = np.concatenate([b.hess_cols, np.arange(nx)]).astype(np.int64)
+
+    # -- SparseProblem structure surface ------------------------------------
+    def get_sparse_blocks_info(self):
+        return self.n, self._fr_jr.size, self._fr_hr.size
+
+    def jac_structure(self):
+        return self._fr_jr, self._fr_jc
+
+    def eval_jac_vals(self, z):
+        x, *_ = self._split(z)
+        vals_eq, vals_in = self.base.eval_jac_vals_split(x)
+        pn = jnp.asarray(self._pn_vals, z.dtype)
+        return jnp.concatenate([vals_eq, vals_in, pn])
+
+    def hess_structure(self):
+        return self._fr_hr, self._fr_hc
+
+    def eval_hess_vals(self, z, obj_factor, lam):
+        x, *_ = self._split(z)
+        yc = lam[: self.m_eq]
+        yd = lam[self.m_eq:]
+        base_vals = self.base.eval_hess_vals(x, 0.0, yc, yd)
+        diag = obj_factor * self.zeta * self.DR * self.DR
+        return jnp.concatenate([base_vals, jnp.asarray(diag, z.dtype)])
+
+
 def apply_feasibility_restoration(solver, it_curr, mu, norms):
     """Drive the nested FR solve (apply_feasibility_restoration,
-    hiopAlgFilterIPM.cpp:3040+). Returns the accepted (x, d) dict or None."""
+    hiopAlgFilterIPM.cpp:3040+). Returns the accepted (x, d) dict or None.
+
+    The FR subproblem keeps the base formulation's structure class: a sparse
+    base routes through :class:`SparseFeasibilityRestorationProblem` +
+    ``NlpSparse`` (triplet KKT, hiopFRProbSparse parity); everything else
+    uses the dense-constraints FR formulation."""
     from hiop_tpu.formulation.dense import NlpDenseConstraints
+    from hiop_tpu.formulation.sparse import NlpSparse
     from hiop_tpu.utils.options import NlpOptions
     import hiop_tpu.optimization.filter_ipm as fi
 
     base = solver.nlp
     nrm_feas = float(norms.nlp_feasib)
-    fr_prob = FeasibilityRestorationProblem(base, it_curr.x, mu, nrm_feas)
+    base_is_sparse = isinstance(base, NlpSparse)
+    fr_cls = (
+        SparseFeasibilityRestorationProblem
+        if base_is_sparse
+        else FeasibilityRestorationProblem
+    )
+    fr_prob = fr_cls(base, it_curr.x, mu, nrm_feas)
     fr_prob.orig_filter = solver.filter
 
     o = NlpOptions()
@@ -221,7 +302,10 @@ def apply_feasibility_restoration(solver, it_curr, mu, norms):
     newton = hasattr(base, "eval_hess") and base.options.str_("Hessian") == "analytical_exact"
     if newton:
         o.update(Hessian="analytical_exact")
-    nlp_fr = NlpDenseConstraints(fr_prob, o, logger=base.log)
+    if base_is_sparse:
+        nlp_fr = NlpSparse(fr_prob, o, logger=base.log)
+    else:
+        nlp_fr = NlpDenseConstraints(fr_prob, o, logger=base.log)
     alg = fi.FilterIPMNewton(nlp_fr) if newton else fi.FilterIPMQuasiNewton(nlp_fr)
     alg.within_fr = True
     result = alg.run()
