@@ -406,3 +406,41 @@ def test_full_kkt_coo_assembly_matches_dense_operator(monkeypatch):
     FilterIPMNewton(self_nlp).run()
     assert checked.get("done"), "full-KKT factorize never ran"
     assert checked["max_abs_diff"] < 1e-12
+
+
+@pytest.mark.slow
+def test_full_kkt_scales_to_2e5():
+    """Scale proof for the unreduced 12-block sparse path
+    (hiopKKTLinSysSparse.cpp:845-849 parity): n=200,000 gives a compound
+    KKT dimension N = 5n+5mi+me+mi ~ 2e6; a dense (N,N) would be ~32 TB,
+    so completing the solve at all proves the O(nnz) COO assembly claim
+    (full_space_sparse.py). Records factorize s/iter from the time_kkt
+    stats and bounds host RSS."""
+    import resource
+    import time
+
+    from hiop_tpu import FilterIPMNewton, NlpOptions, NlpSparse
+
+    n = 200_000
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact",
+        verbosity_level=0,
+        KKTLinsys="full",
+        fact_acceptor="inertia_free",
+        max_iter=3,
+        time_kkt="on",
+    )
+    nlp = NlpSparse(sx1.SparseEx1(n), o)
+    t0 = time.time()
+    r = FilterIPMNewton(nlp).run()
+    wall = time.time() - t0
+    assert r.iterations >= 2 and np.isfinite(r.obj)
+    fact_s = nlp.runstats.kkt.tm_update_fact.elapsed
+    assert fact_s > 0.0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    assert rss_gb < 24.0, f"peak RSS {rss_gb:.1f} GB — dense materialization?"
+    print(
+        f"full KKT n={n}: {r.iterations} iters, factorize {fact_s:.2f}s total, "
+        f"wall {wall:.1f}s, peak RSS {rss_gb:.2f} GB"
+    )
