@@ -34,6 +34,18 @@ _jax.config.update(
     _os.environ.get("HIOP_TPU_MATMUL_PRECISION", "highest"),
 )
 
+# Persistent XLA compilation cache. NOTE: this must be a config update, not
+# the JAX_COMPILATION_CACHE_DIR env var — environments that import jax at
+# interpreter start (e.g. a sitecustomize registering a TPU plugin) latch
+# the env-derived default before user code runs, silently disabling an
+# env-var-only setting. Opt out with HIOP_TPU_COMPILE_CACHE="".
+_cache_dir = _os.environ.get(
+    "HIOP_TPU_COMPILE_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "hiop_tpu_xla"),
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+
 # The host environment may force a platform at interpreter start (e.g. a
 # sitecustomize registering a TPU plugin overrides JAX_PLATFORMS). Honor an
 # explicit override so CLI drivers/tests can pick the backend:

@@ -1776,9 +1776,13 @@ class FilterIPMBase:
         self.log.printf(Verbosity.SCALARS, "%s", self.nlp.runstats.get_summary())
         from hiop_tpu.parallel.mesh import to_host
 
+        x_host = to_host(it_curr.x)
+        n_orig = getattr(nlp.problem, "_hiop_pad_n_orig", None)
+        if n_orig is not None:
+            x_host = x_host[:n_orig]  # trim mesh padding (PaddedDenseProblem)
         return SolverResult(
             status=self.solver_status,
-            x=to_host(it_curr.x),
+            x=x_host,
             obj=obj,
             iterations=self.iter_num,
             err_nlp=err_nlp,

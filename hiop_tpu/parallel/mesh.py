@@ -65,6 +65,68 @@ def to_host(a) -> np.ndarray:
         return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
 
+class PaddedDenseProblem:
+    """Pad a dense-constrained problem's variable axis to a multiple of the
+    mesh size (XLA shardings require even division; the reference's MPI
+    column partition has no such constraint, `hiopInterface.hpp:262`, so
+    the TPU build masks instead).
+
+    The extra variables are inert: free (no bounds, so no barrier terms),
+    zero objective gradient, zero Jacobian columns, zero starting point —
+    every search direction component on the pad is exactly zero, and the
+    trajectory is bit-identical to the unpadded problem up to reduction
+    ordering (asserted by tests/test_sharding.py).
+    """
+
+    def __init__(self, inner, n_pad: int):
+        n, m = inner.get_prob_sizes()
+        assert n_pad >= n
+        self.inner = inner
+        self.n_orig = n
+        self._hiop_pad_n_orig = n  # read by the solver to trim the result
+        self.pad = n_pad - n
+        self._m = m
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def get_prob_sizes(self):
+        return self.n_orig + self.pad, self._m
+
+    def get_vars_info(self):
+        from hiop_tpu.interface.base import INF
+
+        xl, xu = self.inner.get_vars_info()
+        return (
+            np.concatenate([np.asarray(xl), np.full(self.pad, -INF)]),
+            np.concatenate([np.asarray(xu), np.full(self.pad, INF)]),
+        )
+
+    def get_starting_point(self):
+        x0 = np.asarray(self.inner.get_starting_point())
+        return np.concatenate([x0, np.zeros(self.pad, x0.dtype)])
+
+    def eval_f(self, x):
+        return self.inner.eval_f(x[: self.n_orig])
+
+    def eval_grad_f(self, x):
+        import jax.numpy as jnp
+
+        g = jnp.asarray(self.inner.eval_grad_f(x[: self.n_orig]))
+        return jnp.concatenate([g, jnp.zeros(self.pad, g.dtype)])
+
+    def eval_cons(self, x):
+        return self.inner.eval_cons(x[: self.n_orig])
+
+    def eval_jac_cons(self, x):
+        import jax.numpy as jnp
+
+        J = jnp.asarray(self.inner.eval_jac_cons(x[: self.n_orig]))
+        return jnp.concatenate(
+            [J, jnp.zeros((J.shape[0], self.pad), J.dtype)], axis=1
+        )
+
+
 def shard_formulation(nlp, mesh: Mesh, axis_name: str = "n") -> None:
     """Shard an initialized formulation's n-sized data over the mesh.
 
@@ -73,12 +135,29 @@ def shard_formulation(nlp, mesh: Mesh, axis_name: str = "n") -> None:
     n produce replicated m-sized results via psum, and the small KKT/Schur
     systems stay replicated — the exact layout of the reference's
     hiopVectorPar / hiopMatrixDenseRowMajor / hiopHessianLowRank trio.
+
+    When n is not a multiple of the mesh size and the formulation has not
+    been finalized yet, the problem is transparently wrapped in
+    :class:`PaddedDenseProblem` (pad-and-mask).
     """
+    P_sz = mesh.devices.size
+    if not getattr(nlp, "_finalized", False):
+        n, _ = nlp.problem.get_prob_sizes()
+        if n % P_sz != 0:
+            from hiop_tpu.formulation.dense import NlpDenseConstraints
+
+            if not isinstance(nlp, NlpDenseConstraints):
+                raise ValueError(
+                    f"n={n} not divisible by mesh size {P_sz}; automatic "
+                    "pad-and-mask is implemented for NlpDenseConstraints only"
+                )
+            n_pad = ((n + P_sz - 1) // P_sz) * P_sz
+            nlp.problem = PaddedDenseProblem(nlp.problem, n_pad)
     nlp.finalize_initialization()
-    if nlp.n % mesh.devices.size != 0:
+    if nlp.n % P_sz != 0:
         raise ValueError(
-            f"n={nlp.n} must be divisible by the mesh size {mesh.devices.size} "
-            "(pad the problem or choose a different mesh)"
+            f"n={nlp.n} must be divisible by the mesh size {P_sz} "
+            "(shard before finalize_initialization to get automatic padding)"
         )
     b = nlp.bounds
     nlp.bounds = b._replace(

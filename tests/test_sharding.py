@@ -240,3 +240,43 @@ def test_sharded_mds_newton_acopf_matches_single():
     assert r0.status.is_success and r1.status.is_success
     assert r0.iterations == r1.iterations
     assert abs(r0.obj - r1.obj) < 1e-10
+
+
+@needs_multi
+def test_sharded_pad_and_mask_uneven_n():
+    """n=509 over an 8-device mesh: shard_formulation auto-wraps the
+    problem in PaddedDenseProblem (inert pad variables), and the solve
+    reproduces the unpadded single-device trajectory exactly."""
+    r1 = _solve_single(ex1.DenseConsEx1(509))
+    r8 = _solve_sharded(ex1.DenseConsEx1(509), 8)
+    assert r8.status.is_success
+    assert r8.iterations == r1.iterations
+    assert abs(r8.obj - r1.obj) <= 1e-9 * (1 + abs(r1.obj))
+    assert r8.x.shape == (509,)  # result trimmed back to the user's n
+    np.testing.assert_allclose(r8.x, r1.x, atol=1e-8)
+
+
+@needs_multi
+def test_sharded_mds_newton_acopf_b512_matches_single():
+    """Sharded-vs-single equivalence at the NORTH-STAR shape (B=512:
+    5120 sparse + 102 dense vars, m=4608). Full convergence is minutes on
+    the virtual-CPU mesh, so the check runs the first 3 Newton iterations
+    and requires identical objectives to reduction-order roundoff — the
+    iteration-table-diff technique (SURVEY.md §4.3) at real scale."""
+    import examples.acopf_mds as am
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+    from hiop_tpu.parallel.mesh import make_mesh, shard_formulation
+
+    def run(shard):
+        o = NlpOptions()
+        o.update(Hessian="analytical_exact", fixed_var="relax",
+                 tolerance=1e-6, mu0=0.1, verbosity_level=0, max_iter=3,
+                 kkt_fact_dtype="float32")
+        nlp = NlpMDS(am.AcopfMds(512), o)
+        if shard:
+            shard_formulation(nlp, make_mesh(2))
+        return FilterIPMNewton(nlp).run()
+
+    r0, r1 = run(False), run(True)
+    assert r0.iterations == r1.iterations == 3
+    assert abs(r0.obj - r1.obj) <= 1e-8 * (1 + abs(r0.obj))
