@@ -54,6 +54,20 @@ class NlpDenseConstraints(NlpFormulation):
         with self.runstats.tm_eval_jac:
             J = jnp.asarray(self.problem.eval_jac_cons(x))
         J = J * jnp.asarray(self._scale_cons)[:, None]
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            # explicit column-sharded placement (hiopMatrixDenseRowMajor's
+            # MPI layout): m replicated rows x n sharded cols, rather than
+            # leaving the layout to propagation from x
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(None, getattr(self, "_mesh_axis", "n")))
+            J = (
+                jax.lax.with_sharding_constraint(J, sh)
+                if isinstance(J, jax.core.Tracer)
+                else jax.device_put(J, sh)
+            )
         out = (J[self.eq_idx, :], J[self.ineq_idx, :])
         if getattr(self.problem, "jac_constant", False):
             self._jac_cache = out

@@ -89,7 +89,11 @@ class _LowRankStrategy:
     def __init__(self, nlp: NlpFormulation):
         o = nlp.options
         self.nlp = nlp
-        self.bfgs = blr.init_state(nlp.n, o.integer("secant_memory_len"), o.num("sigma0"))
+        self.bfgs = blr.init_state(
+            nlp.n, o.integer("secant_memory_len"), o.num("sigma0"),
+            mesh=getattr(nlp, "_mesh", None),
+            axis_name=getattr(nlp, "_mesh_axis", "n"),
+        )
         self.sigma_strategy = o.str_("sigma_update_strategy")
         self.sigma0 = o.num("sigma0")
         self.prev = None
@@ -2146,7 +2150,11 @@ class FilterIPMBase:
                 sigma0=o.num("sigma0"),
                 recalc_lsq_duals_tol=o.num("recalc_lsq_duals_tol"),
             )
-            bfgs0 = blr.init_state(n, o.integer("secant_memory_len"), o.num("sigma0"))
+            bfgs0 = blr.init_state(
+                n, o.integer("secant_memory_len"), o.num("sigma0"),
+                mesh=getattr(self.nlp, "_mesh", None),
+                axis_name=getattr(self.nlp, "_mesh_axis", "n"),
+            )
             state = fn.FusedQNState(
                 it=it_curr, f=jnp.asarray(f), c=c, d=d_eval,
                 grad=grad_f, Jc=Jc, Jd=Jd, bfgs=bfgs0,

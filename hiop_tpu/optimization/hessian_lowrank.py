@@ -44,10 +44,24 @@ class BfgsState(NamedTuple):
     sigma: jax.Array    # scalar multiple of identity in B0
 
 
-def init_state(n: int, l_max: int, sigma0: float = 1.0, dtype=jnp.float64) -> BfgsState:
+def init_state(
+    n: int, l_max: int, sigma0: float = 1.0, dtype=jnp.float64, mesh=None,
+    axis_name: str = "n",
+) -> BfgsState:
+    """Zero BFGS memory.  With ``mesh`` given, S/Y are created n-axis
+    sharded from the start (the reference keeps them MPI column-distributed,
+    hiopHessianLowRank.hpp:60); otherwise XLA's propagation from the
+    sharded iterate does the same placement one update later."""
+    S = jnp.zeros((max(l_max, 1), n), dtype)
+    Y = jnp.zeros((max(l_max, 1), n), dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P(None, axis_name))
+        S, Y = jax.device_put(S, sh), jax.device_put(Y, sh)
     return BfgsState(
-        S=jnp.zeros((max(l_max, 1), n), dtype),
-        Y=jnp.zeros((max(l_max, 1), n), dtype),
+        S=S,
+        Y=Y,
         active=jnp.zeros((max(l_max, 1),), dtype),
         sigma=jnp.asarray(sigma0, dtype),
     )
