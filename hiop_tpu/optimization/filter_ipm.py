@@ -164,6 +164,83 @@ def _maybe_escalate_chronic(strategy, can_escalate: bool) -> None:
         )
 
 
+def _mp_init(strategy, o) -> None:
+    """Attach the mixed-precision schedule state (VERDICT r2 #8: the fixed
+    mu >= 1e-4 cutover replaced by an IR-residual-driven policy)."""
+    strategy._mp_schedule = o.str_("mp_schedule")
+    strategy._mp_mu_threshold = o.num("mp_mu_threshold")
+    strategy._mp_f32_ok = True
+    strategy._deesc_n = o.integer("mp_deescalate_iters")
+    strategy._deesc_clean = 0
+    strategy._deesc_budget = 2  # flip-flop guard: at most 2 per solve
+
+
+def _mp_fact_dtype(strategy):
+    """Effective factorization dtype.  f64 always in safe mode (its
+    inertia-revealing factorizations meet genuinely indefinite saddles
+    where f32 pivots break down); otherwise 'adaptive' stays f32 until the
+    f64 refinement residual stops certifying the solve, 'mu_threshold' uses
+    the fixed cutover — cf. ReSolve/IterativeRefinement.hpp:25 made
+    adaptive."""
+    if strategy._fact_dtype_opt == jnp.float64 or strategy._safe_mode:
+        return jnp.float64
+    if strategy._mp_schedule == "mu_threshold":
+        return (
+            jnp.float32
+            if strategy._mu >= strategy._mp_mu_threshold
+            else jnp.float64
+        )
+    return jnp.float32 if strategy._mp_f32_ok else jnp.float64
+
+
+def _mp_demote(strategy, why: str) -> None:
+    if strategy._mp_f32_ok:
+        strategy._mp_f32_ok = False
+        strategy.log.printf(
+            Verbosity.SCALARS,
+            "mixed precision: demoting KKT factorization to f64 (%s)", why,
+        )
+
+
+def _mp_count_fact(strategy) -> None:
+    k = strategy.stats.kkt
+    k.n_fact_total += 1
+    if strategy.fact_dtype == jnp.float32:
+        k.n_fact_f32 += 1
+
+
+def _maybe_deescalate_safe(strategy) -> None:
+    """switch_to_fast_KKT analogue (hiopAlgFilterIPM.hpp:468): after N
+    consecutive clean safe-mode iterations (zero regularization, zero
+    corrections) step back one tier toward the quick path and give f32
+    another chance (the VERDICT r2 #8 're-enter f32 after safe-mode
+    recovery').  Called from prepare() while the previous iteration's
+    deltas are live, like _maybe_escalate_chronic."""
+    if not strategy._safe_mode or strategy._deesc_budget <= 0:
+        strategy._deesc_clean = 0
+        return
+    # delta_wx == 0 from the live perturbation state implies the previous
+    # iteration factorized clean on the first try (every correction path
+    # sets a positive delta)
+    clean = strategy.perturb.delta_wx == 0.0
+    strategy._deesc_clean = strategy._deesc_clean + 1 if clean else 0
+    if strategy._deesc_clean >= strategy._deesc_n:
+        strategy._safe_mode -= 1
+        strategy._deesc_clean = 0
+        strategy._deesc_budget -= 1
+        strategy._chronic_delta = 0
+        if getattr(strategy, "_mp_schedule", "") == "adaptive":
+            strategy._mp_f32_ok = True
+        strategy.log.printf(
+            Verbosity.SCALARS,
+            "KKT: %d clean safe-mode iterations; de-escalating to %s",
+            strategy._deesc_n,
+            "quick tier"
+            if strategy._safe_mode == 0
+            else strategy._safe_tiers[strategy._safe_mode - 1],
+        )
+
+
 def _dense_safe_tiers(o) -> tuple:
     """Safe-mode escalation ladder for dense symmetric-indefinite KKT
     factorizations, from the linear_solver_dense option: the on-device
@@ -238,8 +315,10 @@ class _NewtonDenseStrategy:
         self._safe_mode = 0  # index into (quick,) + _safe_tiers
         self._safe_tiers = _dense_safe_tiers(o)
         self._chronic_delta = 0
+        _mp_init(self, o)
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        _maybe_deescalate_safe(self)
         _maybe_escalate_chronic(self, self.kkt_kind in ("xdycyd", "xycyd"))
         with self.stats.kkt.tm_update_init:
             self._H = self.nlp.eval_hess(it.x, 1.0, it.yc, it.yd)
@@ -254,28 +333,17 @@ class _NewtonDenseStrategy:
     # -- factorization ----------------------------------------------------
     @property
     def fact_dtype(self):
-        """Effective factorization dtype: f32 only while the barrier
-        parameter is large enough that the KKT conditioning (~1/mu from the
-        log-barrier diagonal) fits f32; switch to f64 as mu -> 0. This is
-        the practical mixed-precision schedule for condensed IPM systems
-        (cf. the ReSolve/condensed-IPM-on-GPU literature, PAPERS.md).
-
-        Safe mode always factorizes in f64: its inertia-revealing no-pivot
-        LDL^T meets genuinely indefinite, near-singular saddles where f32
-        pivots fall below the breakdown threshold and the regularization
-        ladder thrashes (measured on the ACOPF driver: delta_wx ramped to
-        1e8 with every factorization reporting breakdown). The reference
-        draws the same line: linsol_mode=stable escalation trades speed for
-        a stable factorization (hiopAlgFilterIPM.cpp:3335)."""
-        if self._fact_dtype_opt == jnp.float64 or self._safe_mode:
-            return jnp.float64
-        return jnp.float32 if self._mu >= 1e-4 else jnp.float64
+        """Effective factorization dtype — see :func:`_mp_fact_dtype` (the
+        mp_schedule option: IR-residual-driven by default; safe mode always
+        f64, cf. hiopAlgFilterIPM.cpp:3335)."""
+        return _mp_fact_dtype(self)
 
     def _cast(self, a):
         return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
 
     def _factorize(self):
         p = self.perturb
+        _mp_count_fact(self)
         if self.fact_dtype != jnp.float64:
             H, Dx, Dd = self._cast(self._H), self._cast(self._Dx), self._cast(self._Dd)
             Jc, Jd = self._cast(self._Jc), self._cast(self._Jd)
@@ -510,6 +578,10 @@ class _NewtonDenseStrategy:
             gs_scheme=o.str_("ir_inner_gs_scheme"),
         )
         self.stats.kkt.n_iter_refin_inner += info.iters
+        if self._mp_schedule == "adaptive" and not info.converged:
+            # the f32 factorization stopped being a good enough
+            # preconditioner for the f64 system at this conditioning
+            _mp_demote(self, "inner FGMRES-IR did not converge")
         return refined if info.converged or info.iters > 0 else sol4
 
     def _maybe_refine(self, resid, it: Iterate, b: Bounds, dir_: Iterate) -> Iterate:
@@ -948,6 +1020,7 @@ class _MdsStrategy:
         self._safe_mode = 0
         self._safe_tiers = _dense_safe_tiers(o)
         self._chronic_delta = 0
+        _mp_init(self, o)
         # triplet-based Schur assembly (the reference's addMDinv* kernels):
         # precompute the same-column nonzero pairs once; quick-tier
         # factorizations then assemble Js Ks^-1 Js^T in O(sum deg^2)
@@ -979,16 +1052,14 @@ class _MdsStrategy:
 
     @property
     def fact_dtype(self):
-        """Mixed-precision schedule (see _NewtonDenseStrategy.fact_dtype);
-        safe mode is always f64 for the same stability reason."""
-        if self._fact_dtype_opt == jnp.float64 or self._safe_mode:
-            return jnp.float64
-        return jnp.float32 if self._mu >= 1e-4 else jnp.float64
+        """Mixed-precision schedule — see :func:`_mp_fact_dtype`."""
+        return _mp_fact_dtype(self)
 
     def _cast(self, a):
         return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
 
     def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        _maybe_deescalate_safe(self)
         _maybe_escalate_chronic(self, True)
         ns = self.ns
         with self.stats.kkt.tm_update_init:
@@ -1018,6 +1089,7 @@ class _MdsStrategy:
         from hiop_tpu.kkt import mds as kkt_mds
 
         p = self.perturb
+        _mp_count_fact(self)
         d = self._data
         args = (
             self._cast(d["hss"]), self._cast(d["Hdd"]),
@@ -1071,11 +1143,42 @@ class _MdsStrategy:
             out = tuple(a.astype(jnp.float64) for a in out)
         return out
 
+    def _mds_rel_residual(self, dx, dd, dyc, dyd, rx_t, rd_t, ryc, ryd):
+        """Relative f64 residual of the compressed XDYcYd solve with the
+        block-structured MDS Hessian (same operator convention as
+        kkt_nd.xdycyd_matvec) — the adaptive mixed-precision schedule's
+        certification signal where no inner Krylov IR runs."""
+        d = self._data
+        p = self.perturb
+        ns = self.ns
+        dxs, dxd = dx[:ns], dx[ns:]
+        ax_s = (
+            (d["hss"] + d["Dxs"] + p.delta_wx) * dxs
+            + d["Jc_s"].T @ dyc + d["Jd_s"].T @ dyd
+        )
+        ax_d = (
+            d["Hdd"] @ dxd + (d["Dxd"] + p.delta_wx) * dxd
+            + d["Jc_d"].T @ dyc + d["Jd_d"].T @ dyd
+        )
+        ad = (d["Dd"] + p.delta_wd) * dd - dyd
+        ayc = d["Jc_s"] @ dxs + d["Jc_d"] @ dxd - p.delta_cc * dyc
+        ayd = d["Jd_s"] @ dxs + d["Jd_d"] @ dxd - dd - p.delta_cd * dyd
+
+        def _nrm2(parts):
+            return sum(float(jnp.vdot(a, a)) for a in parts)
+
+        num = _nrm2(
+            [ax_s - rx_t[:ns], ax_d - rx_t[ns:], ad - rd_t, ayc - ryc, ayd - ryd]
+        )
+        den = _nrm2([rx_t, rd_t, ryc, ryd])
+        return (num ** 0.5) / max(den ** 0.5, 1e-300)
+
     def compute_direction(self, resid, it: Iterate, b: Bounds):
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
         d = self._data
         p = self.perturb
         n_corr = 0
+        mp_retried = False
         for _ in range(self.MAX_REFACT):
             f = self._factorize()
             if self._safe_mode:
@@ -1122,6 +1225,27 @@ class _MdsStrategy:
             self._factors = f
             with self.stats.kkt.tm_solve_inner:
                 dx, dd, dyc, dyd = self._solve(f, rx_t, rd_t, ryc, ryd)
+            if (
+                self._mp_schedule == "adaptive"
+                and self.fact_dtype == jnp.float32
+                and not mp_retried
+            ):
+                with self.stats.kkt.tm_resid:
+                    rel = self._mds_rel_residual(
+                        dx, dd, dyc, dyd, rx_t, rd_t, ryc, ryd
+                    )
+                o = self.nlp.options
+                tol = max(
+                    o.num("ir_inner_tol"),
+                    o.num("ir_inner_tol_factor") * self._mu,
+                )
+                if not (rel <= tol):
+                    _mp_demote(
+                        self,
+                        f"f32 compressed-solve residual {rel:.1e} > {tol:.1e}",
+                    )
+                    mp_retried = True
+                    continue  # refactorize this direction in f64
             # curvature (inertia-free) test over the block Hessian; skipped
             # in safe mode with the inertia acceptor, where the pivot count
             # already certified the curvature

@@ -405,6 +405,18 @@ class NlpOptions(OptionsBase):
         # --- TPU-native additions ------------------------------------------
         rs("kkt_fact_dtype", "float64", ["float32", "float64"],
            "dtype of the KKT factorization; float32 pairs with f64 iterative refinement")
+        rs("mp_schedule", "adaptive", ["adaptive", "mu_threshold"],
+           "mixed-precision policy when kkt_fact_dtype=float32: 'adaptive' "
+           "stays f32 while the f64 refinement residual certifies each solve "
+           "(IR-driven demotion, f32 re-entry on safe-mode de-escalation); "
+           "'mu_threshold' is the fixed mu cutover")
+        rn("mp_mu_threshold", 1e-4, 0.0, 1.0,
+           "barrier parameter below which mp_schedule=mu_threshold demotes "
+           "the factorization to f64")
+        ri("mp_deescalate_iters", 6, 2, 1000,
+           "consecutive clean safe-mode iterations (no regularization, no "
+           "corrections) before stepping back toward the quick KKT tier "
+           "(switch_to_fast_KKT analogue, hiopAlgFilterIPM.hpp:468)")
         rs("deepchecks", "no", ["yes", "no"],
            "runtime numerical sanitizer: verify KKT-solve residuals, direction "
            "finiteness, and slack/dual pattern invariants each iteration "

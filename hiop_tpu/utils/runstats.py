@@ -25,6 +25,11 @@ class KKTSolveStats:
         self.n_iter_refin_inner = 0
         self.n_iter_refin_outer = 0
         self.n_update_corrections = 0       # regularization (inertia-correction) retries
+        # cumulative (NOT reset per iteration): mixed-precision accounting —
+        # the f64-avoided fraction n_fact_f32/n_fact_total is the adaptive
+        # schedule's headline metric
+        self.n_fact_total = 0
+        self.n_fact_f32 = 0
 
     def start_iter(self) -> None:
         for t in (
@@ -109,4 +114,12 @@ class RunStats:
                 self.tm_eval_hess.elapsed,
                 self.n_iters,
             )
+        ) + (
+            "\n  KKT factorizations: %d (%.0f%% in f32)"
+            % (
+                self.kkt.n_fact_total,
+                100.0 * self.kkt.n_fact_f32 / self.kkt.n_fact_total,
+            )
+            if self.kkt.n_fact_total
+            else ""
         )

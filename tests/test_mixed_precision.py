@@ -1,0 +1,114 @@
+"""Adaptive mixed-precision schedule tests (VERDICT r2 #8).
+
+kkt_fact_dtype=float32 pairs an f32 factorization with f64 refinement (the
+ReSolve pattern).  mp_schedule=adaptive replaces the fixed mu cutover with
+an IR-residual-driven policy: stay f32 while the f64 residual certifies
+each solve, demote when it stops, re-enter f32 when the safe-mode ladder
+de-escalates after clean iterations.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+from examples.acopf_mds import AcopfMds, SELFCHECK
+
+
+def _solve_acopf(**opts):
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, kkt_fact_dtype="float32", verbosity_level=0, **opts,
+    )
+    nlp = NlpMDS(AcopfMds(32), o)
+    return FilterIPMNewton(nlp).run(), nlp
+
+
+def test_adaptive_converges_and_reports_f32_fraction():
+    r, nlp = _solve_acopf(mp_schedule="adaptive")
+    ref, tol = SELFCHECK[32]
+    assert r.status.is_success
+    assert abs(r.obj - ref) <= tol * max(1.0, abs(ref))
+    k = nlp.runstats.kkt
+    assert k.n_fact_total > 0
+    assert 0 < k.n_fact_f32 <= k.n_fact_total
+    assert "in f32" in nlp.runstats.get_summary()
+
+
+def test_adaptive_uses_at_least_as_much_f32_as_threshold():
+    """The residual-driven policy must not be more conservative than the
+    fixed mu >= 1e-4 cutover on the ACOPF driver (it may extend f32 deeper
+    when the residual certifies)."""
+    _, nlp_a = _solve_acopf(mp_schedule="adaptive")
+    _, nlp_t = _solve_acopf(mp_schedule="mu_threshold")
+    assert nlp_a.runstats.kkt.n_fact_f32 >= nlp_t.runstats.kkt.n_fact_f32
+
+
+def test_mds_residual_demotes_on_bad_f32_solve(monkeypatch):
+    """Corrupt the f32 compressed solve: the f64 residual check must catch
+    it, demote to f64, recompute the direction, and still converge."""
+    import hiop_tpu.optimization.filter_ipm as fi
+
+    orig = fi._MdsStrategy._solve
+    state = {"corrupted": 0}
+
+    def bad_solve(self, f, rx_t, rd_t, ryc, ryd):
+        out = orig(self, f, rx_t, rd_t, ryc, ryd)
+        if self.fact_dtype == jnp.float32 and state["corrupted"] < 2:
+            state["corrupted"] += 1
+            return tuple(a + 1e3 for a in out)
+        return out
+
+    monkeypatch.setattr(fi._MdsStrategy, "_solve", bad_solve)
+    demotions = []
+    orig_demote = fi._mp_demote
+
+    def spy_demote(strategy, why):
+        demotions.append(why)
+        orig_demote(strategy, why)
+
+    monkeypatch.setattr(fi, "_mp_demote", spy_demote)
+    r, _ = _solve_acopf(mp_schedule="adaptive")
+    assert state["corrupted"] > 0
+    assert demotions, "corrupted f32 solve was not caught by the residual check"
+    assert r.status.is_success
+
+
+def test_deescalation_reenters_f32():
+    """Unit-level: N clean safe-mode iterations step the ladder back and
+    re-enable f32 (switch_to_fast_KKT analogue)."""
+    import hiop_tpu.optimization.filter_ipm as fi
+    from hiop_tpu.utils.logger import Logger
+
+    class P:
+        delta_wx = 0.0
+
+    class S:
+        perturb = P()
+        log = Logger(verbosity=0)
+        _safe_mode = 1
+        _safe_tiers = ("lu_eig",)
+        _chronic_delta = 0
+        _mp_schedule = "adaptive"
+        _mp_f32_ok = False
+        _deesc_n = 3
+        _deesc_clean = 0
+        _deesc_budget = 2
+
+    s = S()
+    for _ in range(3):
+        assert s._safe_mode == 1
+        fi._maybe_deescalate_safe(s)
+    assert s._safe_mode == 0
+    assert s._mp_f32_ok is True
+    assert s._deesc_budget == 1
+    # regularized iterations reset the clean streak
+    s2 = S()
+    s2._safe_mode = 1
+    fi._maybe_deescalate_safe(s2)
+    fi._maybe_deescalate_safe(s2)
+    s2.perturb = type("P2", (), {"delta_wx": 1e-8})()
+    fi._maybe_deescalate_safe(s2)
+    assert s2._deesc_clean == 0
+    assert s2._safe_mode == 1
