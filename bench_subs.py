@@ -1,0 +1,204 @@
+"""Individual benchmark measurements, each run in a FRESH subprocess by
+bench.py (the remote-relay dispatch floor degrades in-process timings after
+other large executables have run — docs/kernels.md 'Measurement note').
+
+Each sub-benchmark prints ONE JSON line on stdout.  Invoke directly for
+debugging:  python bench_subs.py acopf512
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+# ---------------------------------------------------------------------------
+def _acopf_flops(B: int, nd: int):
+    """Counted FLOPs of one quick-tier MDS KKT factorize+solve at the ACOPF
+    shape (kkt/mds.py): dense-block Cholesky (nd+m' reduction is dominated
+    by) the m x m Schur Cholesky + the triplet-Schur assembly + the
+    (m, nd) @ (nd, m) border products.  m = 9B, ns = 10B."""
+    m = 9 * B
+    ns = 10 * B
+    nnz_js = 2 * (B + 2 * len(_ring_chords(B))) + 18 * B  # ~ Jacobian nnz
+    chol_schur = m ** 3 / 3.0
+    border = 2.0 * m * nd * m + nd ** 3 / 3.0  # Jd^T Kdd^-1 Jd + dense chol
+    tri_solves = 2.0 * m * m  # two triangular solves per rhs
+    return chol_schur + border + tri_solves, dict(m=m, ns=ns, nnz=nnz_js)
+
+
+def _ring_chords(B):
+    out = [(i, (i + 1) % B) for i in range(B)]
+    if B >= 8:
+        out += [(i, i + B // 2) for i in range(0, B // 2, 4)]
+    return out
+
+
+def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "kernels",
+                max_iter: int = 10000, repeats: int = 2):
+    """End-to-end ACOPF MDS solve to convergence: iterations/s, KKT
+    factorize ms/iter (time_kkt stats), objective.  Runs cold (includes
+    compile through the persistent cache) then warm in the same process."""
+    import os
+
+    if platform:
+        os.environ["HIOP_TPU_PLATFORM"] = platform
+    from examples.acopf_mds import AcopfMds
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+
+    runs = []
+    obj = None
+    for k in range(repeats):
+        o = NlpOptions()
+        o.update(
+            Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+            mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
+            mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
+            jit_mode=jit_mode, time_kkt="on", max_iter=max_iter,
+        )
+        nlp = NlpMDS(AcopfMds(n_bus), o)
+        t0 = time.time()
+        r = FilterIPMNewton(nlp).run()
+        wall = time.time() - t0
+        k_st = nlp.runstats.kkt
+        runs.append(
+            dict(
+                wall_s=round(wall, 2),
+                iters=int(r.iterations),
+                s_per_iter=round(wall / max(r.iterations, 1), 4),
+                fact_s_total=round(k_st.fact_seconds_total(), 2),
+                kkt_s_total=round(k_st.kkt_seconds_total(), 2),
+                fact_ms_per_iter=round(
+                    1e3 * k_st.fact_seconds_total() / max(r.iterations, 1), 2
+                ),
+                f32_fact_frac=round(
+                    k_st.n_fact_f32 / max(k_st.n_fact_total, 1), 3
+                ),
+                status=r.status.name,
+            )
+        )
+        obj = float(r.obj)
+    best = min(runs, key=lambda d: d["wall_s"])
+    flops, shape = _acopf_flops(n_bus, max(4, n_bus // 5))
+    fact_s = best["fact_ms_per_iter"] / 1e3
+    return dict(
+        bench=f"acopf{n_bus}",
+        obj=obj,
+        cold=runs[0],
+        warm=best,
+        iters_per_s=round(best["iters"] / best["wall_s"], 3),
+        kkt_flops_per_iter=flops,
+        kkt_gflops=round(flops / max(fact_s, 1e-12) / 1e9, 1),
+        shape=shape,
+    )
+
+
+def sparse_twin_obj(n_bus: int):
+    """Cross-check: the same NLP through the fully sparse path (the
+    reference's MDS-vs-other-formulation equivalence technique)."""
+    import os
+
+    os.environ["HIOP_TPU_PLATFORM"] = "cpu"  # host splu path
+    from examples.acopf_mds import AcopfSparse
+    from hiop_tpu import FilterIPMNewton, NlpSparse, NlpOptions
+
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0,
+    )
+    t0 = time.time()
+    r = FilterIPMNewton(NlpSparse(AcopfSparse(n_bus), o)).run()
+    return dict(
+        bench=f"sparse_twin{n_bus}", obj=float(r.obj), iters=int(r.iterations),
+        wall_s=round(time.time() - t0, 1), status=r.status.name,
+    )
+
+
+def qn_core(precision: str):
+    """QN iteration core at n=8.4M under a given matmul-precision default
+    (VERDICT r2 #5: quantify the library-wide 'highest' override)."""
+    import os
+
+    os.environ["HIOP_TPU_MATMUL_PRECISION"] = precision
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_step
+
+    step, args = _build_step(n=8_388_608, m_eq=2, m_ineq=2, l_mem=4)
+    jitted = jax.jit(step)
+    out = jitted(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jitted(*args))
+        best = min(best, time.perf_counter() - t0)
+    return dict(bench=f"qn_core_{precision}", n=8_388_608,
+                ms_per_iter=round(best * 1e3, 3))
+
+
+def chol_race(n: int, dtype: str = "float32"):
+    """XLA potrf vs Pallas blocked Cholesky at one size, fresh process
+    (VERDICT r2 #4)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hiop_tpu.linalg import cholesky as chol
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n))
+    A = jnp.asarray(a @ a.T + n * np.eye(n), dtype=dtype)
+
+    def measure(fn):
+        out = fn(A)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(8):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(A))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_xla = measure(jax.jit(lambda M: jnp.linalg.cholesky(M)))
+    res = dict(bench=f"chol{n}_{dtype}", xla_ms=round(t_xla * 1e3, 3))
+    try:
+        t_pallas = measure(jax.jit(chol.cholesky))
+        res["pallas_ms"] = round(t_pallas * 1e3, 3)
+    except Exception as e:  # VMEM cliff etc.
+        res["pallas_ms"] = None
+        res["pallas_skip"] = type(e).__name__
+    flops = n ** 3 / 3.0
+    res["xla_gflops"] = round(flops / t_xla / 1e9, 1)
+    return res
+
+
+def main(argv):
+    name = argv[0]
+    t0 = time.time()
+    if name.startswith("acopf"):
+        out = acopf_solve(int(name[5:]), *(argv[1:]))
+    elif name.startswith("sparse_twin"):
+        out = sparse_twin_obj(int(name[11:]))
+    elif name.startswith("qn_core_"):
+        out = qn_core(name[len("qn_core_"):])
+    elif name.startswith("chol"):
+        size, dt = name[4:].split("_")
+        out = chol_race(int(size), dt)
+    else:
+        raise SystemExit(f"unknown sub-benchmark {name}")
+    out["sub_wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

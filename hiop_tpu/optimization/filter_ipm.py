@@ -182,7 +182,21 @@ def _mp_fact_dtype(strategy):
     f64 refinement residual stops certifying the solve, 'mu_threshold' uses
     the fixed cutover — cf. ReSolve/IterativeRefinement.hpp:25 made
     adaptive."""
-    if strategy._fact_dtype_opt == jnp.float64 or strategy._safe_mode:
+    if strategy._fact_dtype_opt == jnp.float64:
+        return jnp.float64
+    if strategy._safe_mode:
+        # ReSolve-pattern device re-entry: an f32 on-device safe-tier
+        # factorization certified by the f64 residual / inner IR, instead
+        # of emulated-f64-on-device or a host round-trip; demoted on the
+        # first rejection or failed certification
+        probe = getattr(strategy, "_mp_safe_f32_device", None)
+        if (
+            strategy._mp_schedule == "adaptive"
+            and strategy._mp_f32_ok
+            and probe is not None
+            and probe()
+        ):
+            return jnp.float32
         return jnp.float64
     if strategy._mp_schedule == "mu_threshold":
         return (
@@ -480,12 +494,25 @@ class _NewtonDenseStrategy:
             return False, True
         return True, False
 
+    def _mp_safe_f32_device(self) -> bool:
+        """f32 safe-tier factorizations only make sense on the on-device
+        no-pivot LDL^T tier (host scipy tiers are natively f64)."""
+        return (
+            self._safe_mode > 0
+            and self._safe_tiers[self._safe_mode - 1] == "ldl_nopiv"
+        )
+
     def compute_direction(self, resid, it: Iterate, b: Bounds) -> Tuple[Iterate, bool]:
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
         n_correction = 0
         for attempt in range(self.MAX_REFACT):
             f = self._factorize()
             acceptable, singular = self._factorization_acceptable(f)
+            if not acceptable and self._safe_mode and self.fact_dtype == jnp.float32:
+                # f32 pivot signs are not trusted through a rejection:
+                # redo this direction in f64 with the deltas unchanged
+                _mp_demote(self, "f32 safe-tier factorization rejected")
+                continue
             if not acceptable:
                 n_correction += 1
                 self.stats.kkt.n_update_corrections = n_correction
@@ -1021,6 +1048,7 @@ class _MdsStrategy:
         self._safe_tiers = _dense_safe_tiers(o)
         self._chronic_delta = 0
         _mp_init(self, o)
+        self._mp_on_accel = None
         # triplet-based Schur assembly (the reference's addMDinv* kernels):
         # precompute the same-column nonzero pairs once; quick-tier
         # factorizations then assemble Js Ks^-1 Js^T in O(sum deg^2)
@@ -1054,6 +1082,16 @@ class _MdsStrategy:
     def fact_dtype(self):
         """Mixed-precision schedule — see :func:`_mp_fact_dtype`."""
         return _mp_fact_dtype(self)
+
+    def _mp_safe_f32_device(self) -> bool:
+        """On an accelerator the f32 safe tier overrides the host tiers
+        entirely (kkt_mds.factorize_safe device LDL^T); on CPU the host
+        f64 LU is both faster and stabler, so never f32 there."""
+        from hiop_tpu.backends.execspace import on_accelerator
+
+        if self._mp_on_accel is None:
+            self._mp_on_accel = on_accelerator()
+        return self._mp_on_accel
 
     def _cast(self, a):
         return a.astype(self.fact_dtype) if a.dtype != self.fact_dtype else a
@@ -1100,6 +1138,11 @@ class _MdsStrategy:
         )
         with self.stats.kkt.tm_update_fact:
             if self._safe_mode:
+                if self.fact_dtype == jnp.float32:
+                    # device f32 safe tier (args are already cast): blocked
+                    # no-pivot LDL^T with pivot-sign inertia, certified by
+                    # the f64 residual check downstream
+                    return kkt_mds.factorize_safe(*args, host=False)
                 tier = self._safe_tiers[self._safe_mode - 1]
                 if tier == "schur_sparse_ldl":
                     import numpy as _np
@@ -1199,6 +1242,9 @@ class _MdsStrategy:
             else:
                 acceptable = bool(f.ok)
                 singular = bool(f.ok_k) and not bool(f.ok_s)
+            if not acceptable and self._safe_mode and self.fact_dtype == jnp.float32:
+                _mp_demote(self, "f32 safe-tier factorization rejected")
+                continue
             if not acceptable:
                 n_corr += 1
                 self.stats.kkt.n_update_corrections = n_corr

@@ -30,8 +30,20 @@ class KKTSolveStats:
         # schedule's headline metric
         self.n_fact_total = 0
         self.n_fact_f32 = 0
+        self._cum_fact_s = 0.0
+        self._cum_total_s = 0.0
+
+    def fact_seconds_total(self) -> float:
+        """Whole-solve factorization seconds (per-iteration timers are
+        reset by start_iter; this accumulates across resets)."""
+        return self._cum_fact_s + self.tm_update_fact.elapsed
+
+    def kkt_seconds_total(self) -> float:
+        return self._cum_total_s + self.tm_total.elapsed
 
     def start_iter(self) -> None:
+        self._cum_fact_s += self.tm_update_fact.elapsed
+        self._cum_total_s += self.tm_total.elapsed
         for t in (
             self.tm_total,
             self.tm_update_init,
