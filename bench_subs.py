@@ -186,7 +186,11 @@ def main(argv):
     name = argv[0]
     t0 = time.time()
     if name.startswith("acopf"):
-        out = acopf_solve(int(name[5:]), *(argv[1:]))
+        kw = {}
+        for a in argv[1:]:
+            k, v = a.split("=", 1)
+            kw[k] = int(v) if v.lstrip("-").isdigit() else v
+        out = acopf_solve(int(name[5:]), **kw)
     elif name.startswith("sparse_twin"):
         out = sparse_twin_obj(int(name[11:]))
     elif name.startswith("qn_core_"):
