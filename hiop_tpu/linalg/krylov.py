@@ -263,13 +263,23 @@ def fgmres(
     b_norm = tree_norm(rhs)
     stop = max(tol * b_norm, 1e-300)
     total_it = 0
+    n_restarts = 0
     r_norm = float("inf")
+    last_beta = float("inf")
     while total_it < maxit:
         r = tree_sub(rhs, matvec(x)) if (x0 is not None or total_it) else rhs
         beta = tree_norm(r)
         r_norm = beta
         if beta <= stop:
             return x, KrylovInfo(True, total_it, beta)
+        # breakdown / stagnation guard: a non-finite residual or a restart
+        # cycle that made no progress (e.g. a degenerate preconditioner —
+        # a Givens breakdown at j=0 does not even increment total_it) must
+        # report failure instead of spinning through restarts forever
+        if not np.isfinite(beta) or (n_restarts > 0 and beta >= 0.999 * last_beta):
+            return x, KrylovInfo(False, total_it, beta)
+        last_beta = beta
+        n_restarts += 1
         m = min(restart, maxit - total_it)
         V = [tree_scale(1.0 / beta, r)]
         Z = []

@@ -1186,14 +1186,13 @@ class _MdsStrategy:
             out = tuple(a.astype(jnp.float64) for a in out)
         return out
 
-    def _mds_rel_residual(self, dx, dd, dyc, dyd, rx_t, rd_t, ryc, ryd):
-        """Relative f64 residual of the compressed XDYcYd solve with the
-        block-structured MDS Hessian (same operator convention as
-        kkt_nd.xdycyd_matvec) — the adaptive mixed-precision schedule's
-        certification signal where no inner Krylov IR runs."""
+    def _mds_matvec(self, v):
+        """f64 compressed XDYcYd operator with the block MDS Hessian (same
+        convention as kkt_nd.xdycyd_matvec; dx carries [dxs; dxd])."""
         d = self._data
         p = self.perturb
         ns = self.ns
+        dx, dd, dyc, dyd = v
         dxs, dxd = dx[:ns], dx[ns:]
         ax_s = (
             (d["hss"] + d["Dxs"] + p.delta_wx) * dxs
@@ -1206,15 +1205,29 @@ class _MdsStrategy:
         ad = (d["Dd"] + p.delta_wd) * dd - dyd
         ayc = d["Jc_s"] @ dxs + d["Jc_d"] @ dxd - p.delta_cc * dyc
         ayd = d["Jd_s"] @ dxs + d["Jd_d"] @ dxd - dd - p.delta_cd * dyd
+        return jnp.concatenate([ax_s, ax_d]), ad, ayc, ayd
 
-        def _nrm2(parts):
-            return sum(float(jnp.vdot(a, a)) for a in parts)
-
-        num = _nrm2(
-            [ax_s - rx_t[:ns], ax_d - rx_t[ns:], ad - rd_t, ayc - ryc, ayd - ryd]
+    def _inner_refine_mds(self, f, rhs4, sol4):
+        """FGMRES inner IR of the mixed-precision MDS compressed solve: f64
+        block operator matvec, f32 factorization as the flexible right
+        preconditioner (the ReSolve pattern, ReSolve/IterativeRefinement.hpp:25
+        — the dense strategies' _inner_refine for the MDS realization).
+        Returns (*refined, certified)."""
+        o = self.nlp.options
+        maxit = o.integer("ir_inner_maxit")
+        if maxit <= 0:
+            return (*sol4, True)
+        tol = max(o.num("ir_inner_tol"), o.num("ir_inner_tol_factor") * self._mu)
+        refined, info = krylov.fgmres(
+            self._mds_matvec, rhs4,
+            M_inv=lambda v: self._solve(f, v[0], v[1], v[2], v[3]),
+            x0=sol4, tol=tol,
+            restart=o.integer("ir_inner_restart"), maxit=maxit,
+            gs_scheme=o.str_("ir_inner_gs_scheme"),
         )
-        den = _nrm2([rx_t, rd_t, ryc, ryd])
-        return (num ** 0.5) / max(den ** 0.5, 1e-300)
+        self.stats.kkt.n_iter_refin_inner += info.iters
+        out = refined if info.converged or info.iters > 0 else sol4
+        return (*out, bool(info.converged))
 
     def compute_direction(self, resid, it: Iterate, b: Bounds):
         rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
@@ -1271,25 +1284,16 @@ class _MdsStrategy:
             self._factors = f
             with self.stats.kkt.tm_solve_inner:
                 dx, dd, dyc, dyd = self._solve(f, rx_t, rd_t, ryc, ryd)
-            if (
-                self._mp_schedule == "adaptive"
-                and self.fact_dtype == jnp.float32
-                and not mp_retried
-            ):
-                with self.stats.kkt.tm_resid:
-                    rel = self._mds_rel_residual(
-                        dx, dd, dyc, dyd, rx_t, rd_t, ryc, ryd
-                    )
-                o = self.nlp.options
-                tol = max(
-                    o.num("ir_inner_tol"),
-                    o.num("ir_inner_tol_factor") * self._mu,
+            if self.fact_dtype == jnp.float32:
+                dx, dd, dyc, dyd, certified = self._inner_refine_mds(
+                    f, (rx_t, rd_t, ryc, ryd), (dx, dd, dyc, dyd)
                 )
-                if not (rel <= tol):
-                    _mp_demote(
-                        self,
-                        f"f32 compressed-solve residual {rel:.1e} > {tol:.1e}",
-                    )
+                if (
+                    self._mp_schedule == "adaptive"
+                    and not certified
+                    and not mp_retried
+                ):
+                    _mp_demote(self, "MDS inner FGMRES-IR did not converge")
                     mp_retried = True
                     continue  # refactorize this direction in f64
             # curvature (inertia-free) test over the block Hessian; skipped

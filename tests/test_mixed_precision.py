@@ -55,9 +55,11 @@ def test_mds_residual_demotes_on_bad_f32_solve(monkeypatch):
 
     def bad_solve(self, f, rx_t, rd_t, ryc, ryd):
         out = orig(self, f, rx_t, rd_t, ryc, ryd)
-        if self.fact_dtype == jnp.float32 and state["corrupted"] < 2:
+        if self.fact_dtype == jnp.float32 and state["corrupted"] < 500:
+            # a useless f32 'factorization': zero preconditioner, so the
+            # inner FGMRES-IR cannot make progress and must demote
             state["corrupted"] += 1
-            return tuple(a + 1e3 for a in out)
+            return tuple(jnp.zeros_like(a) for a in out)
         return out
 
     monkeypatch.setattr(fi._MdsStrategy, "_solve", bad_solve)
