@@ -1245,7 +1245,17 @@ class _MdsStrategy:
         mp_retried = False
         for _ in range(self.MAX_REFACT):
             f = self._factorize()
-            if self._safe_mode:
+            safe_f32 = self._safe_mode and self.fact_dtype == jnp.float32
+            if safe_f32:
+                # f32 pivot signs flip on near-zero pivots, so the f32
+                # safe sub-tier uses the quick tier's inertia-free
+                # curvature acceptance + IR certification instead of
+                # exact pivot counts (SURVEY.md §7 stage-3 design note);
+                # a breakdown (n_neg_eig = -1) or non-finite factor
+                # demotes to the f64 tier below
+                acceptable = bool(f.ok) and int(f.n_neg_eig) >= 0
+                singular = False
+            elif self._safe_mode:
                 # inertia-revealing acceptance (hiopFactAcceptorIC)
                 if not bool(f.ok):
                     # fact None = nonpositive eliminated diagonal block
@@ -1263,7 +1273,7 @@ class _MdsStrategy:
             else:
                 acceptable = bool(f.ok)
                 singular = bool(f.ok_k) and not bool(f.ok_s)
-            if not acceptable and self._safe_mode and self.fact_dtype == jnp.float32:
+            if not acceptable and safe_f32:
                 _mp_demote(self, "f32 safe-tier factorization rejected")
                 continue
             if not acceptable:
@@ -1308,7 +1318,7 @@ class _MdsStrategy:
             # in safe mode with the inertia acceptor, where the pivot count
             # already certified the curvature
             ns = self.ns
-            if not (self._safe_mode and not self.inertia_free):
+            if safe_f32 or not (self._safe_mode and not self.inertia_free):
                 dxs, dxd = dx[:ns], dx[ns:]
                 dWd = float(
                     dxs @ ((d["hss"] + d["Dxs"] + p.delta_wx) * dxs)
@@ -1318,6 +1328,12 @@ class _MdsStrategy:
                 )
                 nrmsq = float(dx @ dx + dd @ dd)
                 if dWd < nrmsq * self.neg_curv_fact:
+                    if safe_f32 and not mp_retried:
+                        # let the f64 inertia-revealing tier decide whether
+                        # this really needs regularization
+                        _mp_demote(self, "f32 safe-tier curvature test failed")
+                        mp_retried = True
+                        continue
                     n_corr += 1
                     self.stats.kkt.n_update_corrections = n_corr
                     if not p.compute_perturb_wrong_inertia():
