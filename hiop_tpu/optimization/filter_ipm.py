@@ -1155,8 +1155,14 @@ class _MdsStrategy:
             if self._safe_mode:
                 if self.fact_dtype == jnp.float32:
                     # device f32 safe tier (args are already cast): blocked
-                    # no-pivot LDL^T with pivot-sign inertia, certified by
-                    # the f64 residual check downstream
+                    # no-pivot LDL^T, curvature-accepted and IR-certified
+                    # downstream; triplet Schur assembly when available
+                    if self._js_pairs is not None:
+                        return kkt_mds.factorize_safe(
+                            *args, host=False,
+                            js_vals=self._cast(d["js_vals"]),
+                            js_pairs=self._js_pairs,
+                        )
                     return kkt_mds.factorize_safe(*args, host=False)
                 tier = self._safe_tiers[self._safe_mode - 1]
                 if tier == "schur_sparse_ldl":
