@@ -1228,7 +1228,10 @@ class _MdsStrategy:
         — the dense strategies' _inner_refine for the MDS realization).
         Returns (*refined, certified)."""
         o = self.nlp.options
-        maxit = o.integer("ir_inner_maxit")
+        # certification budget: each FGMRES iteration costs several relay
+        # round trips; if the f32 factors need more than ~16 of them the
+        # f64 refactorization is the cheaper path
+        maxit = min(o.integer("ir_inner_maxit"), 16)
         if maxit <= 0:
             return (*sol4, True)
         tol = max(o.num("ir_inner_tol"), o.num("ir_inner_tol_factor") * self._mu)

@@ -317,7 +317,7 @@ class NlpOptions(OptionsBase):
         ri("ir_inner_conv_cond", 0, 0, 2, "convergence condition for inner IR")
         rn("ir_inner_tol_factor", 1e-2, 1e-20, 1.0, "inner IR tol = factor*mu")
         ri("ir_inner_maxit", 50, 0, 1000, "max inner IR iterations")
-        rs("ir_inner_gs_scheme", "mgs",
+        rs("ir_inner_gs_scheme", "cgs2",
            ["mgs", "cgs2", "mgs_two_synch", "mgs_pm"],
            "Gram-Schmidt orthogonalization for the inner FGMRES "
            "(hiopOptions.cpp:1042): mgs=modified GS (one device sync per "
