@@ -1,28 +1,33 @@
 """Benchmark driver: the BASELINE.json north star, measured end-to-end.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline"} after EVERY
+completed sub-measurement (best-so-far; the LAST line printed wins), so a
+driver-side kill at any point still leaves a parseable result.
 
-Headline: the MDS ACOPF-class NLP (examples/acopf_mds.py) solved TO
-CONVERGENCE on the TPU at B=512 (and B=2048 when the budget allows) with
-the production configuration (kkt_fact_dtype=float32 + adaptive
-mixed-precision + IR certification).  Reported: IPM iterations/s, KKT
-factorize ms/iter from the time_kkt stats, the converged objective
-cross-checked against the fully sparse twin formulation, and an MFU
-estimate from counted KKT FLOPs.
+Headline: the MDS ACOPF-class NLP (examples/acopf_mds.py) at B=512 on the
+TPU with the production configuration (jit_mode=solve fused program +
+kkt_fact_dtype=float32 mixed-precision factorization certified by on-device
+f64 iterative refinement).  The headline measures warm s/iter over a CAPPED
+iteration window (BENCH_TPU_MAXITER, default 25) after a warm-up run;
+solve-to-convergence and B=2048 run only as budget-permitting extras.
+Reported: IPM iterations/s, KKT factorize ms/iter (direct micro-timing of
+the fused factorization at the measured shape), objective cross-checks, and
+an MFU estimate from counted KKT FLOPs.
 
-Methodology (docs/kernels.md 'Measurement note'): every measurement runs
-in a FRESH subprocess (bench_subs.py) because this environment's TPU relay
-degrades in-process dispatch latency after other large executables run,
-and because the relay serializes clients (a concurrent TPU process blocks
-all others).  Subprocesses are strictly sequential.  Compiles go through
-the persistent XLA cache (enabled at hiop_tpu import), so 'cold' numbers
+Methodology (docs/kernels.md 'Measurement note'): every measurement runs in
+a FRESH subprocess (bench_subs.py) because this environment's TPU relay
+degrades in-process dispatch latency after other large executables run, and
+because the relay serializes clients (a concurrent TPU process blocks all
+others).  Subprocesses are strictly sequential.  Compiles go through the
+persistent XLA cache (enabled at hiop_tpu import), so 'cold' numbers
 include at most one-time compilation.
 
 vs_baseline: same-problem anchor — the identical B=512 solve on this
 machine's host CPU (the reference-class host path: XLA-CPU kernels, f64
-host factorizations), per-iteration, as required by VERDICT r2 #1.  The
-reference's published 0.259 s/iter @ 288 cores (BASELINE.md, a different
-33.5M-variable QN problem) is echoed in the unit string for context only.
+host factorizations), per-iteration: vs_baseline = cpu s/iter / tpu s/iter
+(>1 means the TPU beats the host).  The reference's published 0.259 s/iter
+@ 288 cores (BASELINE.md, a different 33.5M-variable QN problem) is echoed
+in the unit string for context only.
 """
 
 import json
@@ -32,8 +37,9 @@ import sys
 import time
 
 _T0 = time.time()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "840"))
 _REPO = os.path.dirname(os.path.abspath(__file__))
+_MAXIT = os.environ.get("BENCH_TPU_MAXITER", "25")
 
 
 def _left():
@@ -59,103 +65,136 @@ def _run_sub(name, *args, timeout, env=None):
     return json.loads(lines[-1])
 
 
-def main():
-    res = {}
-
-    # 1. headline: B=512 end-to-end on the TPU (cold incl. cached compile,
-    #    then warm in the same process)
-    res["tpu512"] = _run_sub("acopf512", timeout=min(1500, max(_left(), 60)))
-
-    # 2. same-problem CPU anchor: per-iteration cost of the identical solve
-    #    on the host (5 iterations — per-iteration cost is shape-bound)
-    if _left() > 300:
-        res["cpu512"] = _run_sub(
-            "acopf512", "platform=cpu", "max_iter=6", "repeats=1",
-            timeout=min(900, _left()),
-        )
-
-    # 3. objective cross-check vs the fully sparse twin (host path)
-    if _left() > 400:
-        res["twin"] = _run_sub("sparse_twin128", timeout=min(900, _left()))
-
-    # 4. B=2048 (the larger north-star shape) — budget permitting
-    if _left() > 700:
-        res["tpu2048"] = _run_sub(
-            "acopf2048", "repeats=1", timeout=min(1800, _left())
-        )
-
-    # 5. matmul-precision bill on the QN core (VERDICT r2 #5)
-    for prec in ("highest", "default"):
-        if _left() > 180:
-            res[f"qn_{prec}"] = _run_sub(
-                f"qn_core_{prec}", timeout=min(600, _left())
-            )
-
+def _emit(res):
+    """Print the best-so-far result line from whatever has completed."""
     t = res.get("tpu512", {})
     warm = t.get("warm", {})
-    if "error" in t or not warm:
-        print(json.dumps({
-            "metric": "acopf_mds_b512_solve", "value": 0.0,
-            "unit": f"failed: {t.get('error', 'no data')}",
-            "vs_baseline": 0.0,
-        }))
-        return
-
-    iters_per_s = t["iters_per_s"]
-    # MFU: counted KKT FLOPs per iteration / measured factorize time,
-    # against the chip's f32 peak. The 'highest' 6-pass bf16 emulation
-    # divides the usable peak by ~6 (documented in docs/kernels.md).
-    # v5e: 197 TFLOP/s bf16 peak; matmul precision 'highest' emulates f32
-    # with 6 bf16 passes -> ~33 TFLOP/s usable f32 peak
-    peak_f32 = float(os.environ.get("BENCH_PEAK_F32_TFLOPS", "33")) * 1e12
-    mfu = t["kkt_flops_per_iter"] / max(warm["fact_ms_per_iter"] / 1e3, 1e-12) / peak_f32
-
-    vs = 0.0
     cpu = res.get("cpu512", {})
     cpu_warm = cpu.get("warm") or cpu.get("cold") or {}
+
+    if "error" in t or not warm:
+        cpu_note = ""
+        if cpu_warm.get("s_per_iter"):
+            cpu_note = f"; host-CPU anchor {cpu_warm['s_per_iter']:.2f} s/iter"
+        print(json.dumps({
+            "metric": "acopf_mds_b512_solve", "value": 0.0,
+            "unit": f"pending/failed: {t.get('error', 'tpu512 not yet run')}"
+                    + cpu_note,
+            "vs_baseline": 0.0,
+        }), flush=True)
+        return
+
+    iters_per_s = warm["iters"] / warm["wall_s"]
+    # MFU: counted KKT FLOPs per iteration / measured factorize time,
+    # against the chip's usable f32 peak ('highest' 6-pass bf16 emulation
+    # divides the 197 TF/s bf16 peak by ~6 — docs/kernels.md).
+    peak_f32 = float(os.environ.get("BENCH_PEAK_F32_TFLOPS", "33")) * 1e12
+    fact_ms = warm.get("fact_ms_per_iter") or t.get("fact_probe_ms") or 0.0
+    mfu = (
+        t["kkt_flops_per_iter"] / max(fact_ms / 1e3, 1e-12) / peak_f32
+        if fact_ms else 0.0
+    )
+
+    vs = 0.0
     if cpu_warm.get("s_per_iter"):
         vs = cpu_warm["s_per_iter"] / warm["s_per_iter"]
 
+    notes = []
+    if cpu_warm.get("s_per_iter"):
+        notes.append(f"host-CPU anchor {cpu_warm['s_per_iter']:.2f} s/iter")
     twin = res.get("twin", {})
-    twin_note = ""
     if twin.get("obj") is not None:
-        twin_note = f"; sparse-twin cross-check B=128 obj {twin['obj']:.6e}"
-
+        notes.append(f"sparse-twin cross-check B=128 obj {twin['obj']:.6e}")
+    full = res.get("tpu512_full", {})
+    if full.get("warm"):
+        fw = full["warm"]
+        notes.append(
+            f"full convergence: {fw['iters']} iters in {fw['wall_s']:.0f}s "
+            f"({fw['s_per_iter']:.2f} s/iter), status {fw['status']}"
+        )
     t2 = res.get("tpu2048", {})
-    t2_note = ""
     if t2.get("warm"):
         w2 = t2["warm"]
-        t2_note = (
-            f"; B=2048 ({t2['shape']['m']} cons): {w2['iters']} iters, "
-            f"{w2['s_per_iter']:.2f} s/iter, fact {w2['fact_ms_per_iter']:.0f} ms/iter"
+        notes.append(
+            f"B=2048 ({t2['shape']['m']} cons): {w2['iters']} iters, "
+            f"{w2['s_per_iter']:.2f} s/iter"
         )
     elif t2.get("error"):
-        t2_note = f"; B=2048: {t2['error']}"
-
-    qn_note = ""
+        notes.append(f"B=2048: {t2['error']}")
     qh, qd = res.get("qn_highest", {}), res.get("qn_default", {})
     if qh.get("ms_per_iter") and qd.get("ms_per_iter"):
-        qn_note = (
-            f"; QN core n=8.4M: {qh['ms_per_iter']:.2f} ms/iter @precision=highest "
-            f"vs {qd['ms_per_iter']:.2f} @default"
+        notes.append(
+            f"QN core n=8.4M: {qh['ms_per_iter']:.2f} ms/iter @precision="
+            f"highest vs {qd['ms_per_iter']:.2f} @default"
         )
 
     unit = (
-        f"IPM iters/s, B=512 MDS ACOPF solve-to-convergence on 1 TPU chip "
-        f"(n={t['shape']['ns']} sparse + dense vars, m={t['shape']['m']}; "
-        f"obj {t['obj']:.6e}, {warm['iters']} iters, {warm['wall_s']:.0f}s warm / "
-        f"{t['cold']['wall_s']:.0f}s cold, KKT fact {warm['fact_ms_per_iter']:.0f} ms/iter, "
-        f"{warm['f32_fact_frac']*100:.0f}% facts in f32, "
-        f"KKT {t['kkt_gflops']:.0f} GFLOP/s ~ {mfu*100:.1f}% of f32-highest peak"
-        f"{twin_note}{t2_note}{qn_note}; vs_baseline = same-problem host-CPU "
-        f"s/iter ratio (ref context: 0.259 s/iter @288 cores on a 33.5M-var QN problem)"
+        f"IPM iters/s, B=512 MDS ACOPF on 1 TPU chip, warm {warm['iters']}-iter "
+        f"window (n={t['shape']['ns']}+dense vars, m={t['shape']['m']}; "
+        f"obj@cap {t['obj']:.6e}, {warm['wall_s']:.1f}s warm / "
+        f"{t['cold']['wall_s']:.0f}s cold, KKT fact {fact_ms:.0f} ms/iter"
+        + (f", {warm['f32_fact_frac']*100:.0f}% facts f32"
+           if warm.get("f32_fact_frac") is not None else "")
+        + (f", ~{mfu*100:.1f}% of f32-highest peak" if mfu else "")
+        + ("; " + "; ".join(notes) if notes else "")
+        + "; vs_baseline = host-CPU-s/iter / TPU-s/iter, same problem "
+          "(ref context: 0.259 s/iter @288 cores on a 33.5M-var QN problem)"
     )
     print(json.dumps({
         "metric": "acopf_mds_b512_solve",
         "value": round(iters_per_s, 3),
         "unit": unit,
         "vs_baseline": round(vs, 2),
-    }))
+    }), flush=True)
+
+
+def main():
+    res = {}
+    _emit(res)  # a parseable line exists from t=0
+
+    # 1. same-problem CPU anchor first (fast, cheap): per-iteration cost of
+    #    the identical solve on the host (per-iteration cost is shape-bound)
+    res["cpu512"] = _run_sub(
+        "acopf512", "platform=cpu", "max_iter=6", "repeats=1",
+        "jit_mode=kernels",
+        timeout=min(300, max(_left(), 60)),
+    )
+    _emit(res)
+
+    # 2. headline: B=512 on the TPU, fused program, capped warm window
+    res["tpu512"] = _run_sub(
+        "acopf512", f"max_iter={_MAXIT}",
+        timeout=min(480, max(_left(), 60)),
+    )
+    _emit(res)
+
+    # 3. objective cross-check vs the fully sparse twin (host path)
+    if _left() > 180:
+        res["twin"] = _run_sub("sparse_twin128", timeout=min(300, _left()))
+        _emit(res)
+
+    # 4. matmul-precision bill on the QN core (VERDICT r2 #5)
+    for prec in ("highest", "default"):
+        if _left() > 120:
+            res[f"qn_{prec}"] = _run_sub(
+                f"qn_core_{prec}", timeout=min(300, _left())
+            )
+    _emit(res)
+
+    # 5. budget-permitting extras: full convergence, then B=2048
+    if _left() > 300:
+        res["tpu512_full"] = _run_sub(
+            "acopf512", "max_iter=3000", "repeats=1",
+            timeout=max(_left() - 120, 60),
+        )
+        _emit(res)
+    if _left() > 240:
+        res["tpu2048"] = _run_sub(
+            "acopf2048", "repeats=1", f"max_iter={_MAXIT}",
+            timeout=max(_left() - 30, 60),
+        )
+        _emit(res)
+
     # full detail for the record
     sys.stderr.write(json.dumps(res, indent=1) + "\n")
 

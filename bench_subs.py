@@ -41,11 +41,15 @@ def _ring_chords(B):
     return out
 
 
-def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "kernels",
+def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "solve",
                 max_iter: int = 10000, repeats: int = 2):
-    """End-to-end ACOPF MDS solve to convergence: iterations/s, KKT
-    factorize ms/iter (time_kkt stats), objective.  Runs cold (includes
-    compile through the persistent cache) then warm in the same process."""
+    """End-to-end ACOPF MDS solve: iterations/s, KKT factorize ms/iter,
+    objective.  Runs cold (includes compile through the persistent cache)
+    then warm in the same process.  jit_mode=solve (the production config)
+    runs the whole solve as ONE fused XLA program with the mixed-precision
+    f32 factorization + on-device f64 IR; the per-phase time_kkt stats only
+    exist on the jit_mode=kernels host loop, so in fused mode the KKT
+    factorize cost is micro-timed directly (fact_probe)."""
     import os
 
     if platform:
@@ -53,6 +57,7 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "kernel
     from examples.acopf_mds import AcopfMds
     from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
 
+    fused = jit_mode in ("solve", "iteration")
     runs = []
     obj = None
     for k in range(repeats):
@@ -61,18 +66,22 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "kernel
             Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
             mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
             mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
-            jit_mode=jit_mode, time_kkt="on", max_iter=max_iter,
+            jit_mode=jit_mode, time_kkt="off" if fused else "on",
+            max_iter=max_iter,
         )
         nlp = NlpMDS(AcopfMds(n_bus), o)
         t0 = time.time()
         r = FilterIPMNewton(nlp).run()
         wall = time.time() - t0
         k_st = nlp.runstats.kkt
-        runs.append(
-            dict(
-                wall_s=round(wall, 2),
-                iters=int(r.iterations),
-                s_per_iter=round(wall / max(r.iterations, 1), 4),
+        rec = dict(
+            wall_s=round(wall, 2),
+            iters=int(r.iterations),
+            s_per_iter=round(wall / max(r.iterations, 1), 4),
+            status=r.status.name,
+        )
+        if not fused and k_st.n_fact_total:
+            rec.update(
                 fact_s_total=round(k_st.fact_seconds_total(), 2),
                 kkt_s_total=round(k_st.kkt_seconds_total(), 2),
                 fact_ms_per_iter=round(
@@ -81,23 +90,65 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "kernel
                 f32_fact_frac=round(
                     k_st.n_fact_f32 / max(k_st.n_fact_total, 1), 3
                 ),
-                status=r.status.name,
             )
-        )
+        runs.append(rec)
         obj = float(r.obj)
     best = min(runs, key=lambda d: d["wall_s"])
     flops, shape = _acopf_flops(n_bus, max(4, n_bus // 5))
-    fact_s = best["fact_ms_per_iter"] / 1e3
-    return dict(
+    out = dict(
         bench=f"acopf{n_bus}",
         obj=obj,
         cold=runs[0],
         warm=best,
         iters_per_s=round(best["iters"] / best["wall_s"], 3),
         kkt_flops_per_iter=flops,
-        kkt_gflops=round(flops / max(fact_s, 1e-12) / 1e9, 1),
         shape=shape,
     )
+    fact_s = best.get("fact_ms_per_iter", 0.0) / 1e3
+    if fused:
+        try:
+            out["fact_probe_ms"] = fact_probe_ms(nlp)
+            fact_s = out["fact_probe_ms"] / 1e3
+        except Exception as e:  # probe is best-effort
+            out["fact_probe_err"] = f"{type(e).__name__}: {e}"
+    if fact_s:
+        out["kkt_gflops"] = round(flops / fact_s / 1e9, 1)
+    return out
+
+
+def fact_probe_ms(nlp, reps: int = 6):
+    """Micro-time the fused-mode MDS KKT factorization at this problem's
+    shape with representative operands (identity-ish blocks + the real
+    Jacobian structure at the starting point), syncing through a scalar
+    fetch so the relay cannot hide incomplete work."""
+    import jax
+    import jax.numpy as jnp
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    ns, nd = nlp.n_sparse, nlp.n_dense
+    x0 = nlp.get_starting_point()
+    Jc, Jd = nlp.eval_jac(x0)
+    yc = jnp.zeros((nlp.m_eq,), x0.dtype)
+    yd = jnp.zeros((nlp.m_ineq,), x0.dtype)
+    hss, Hdd = nlp.eval_hess_blocks(x0, 1.0, yc, yd)
+    Dxs = jnp.ones((ns,), x0.dtype)
+    Dxd = jnp.ones((nd,), x0.dtype)
+    Dd = jnp.ones((nlp.m_ineq,), x0.dtype)
+    z = jnp.asarray(0.0, x0.dtype)
+
+    fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
+        hss, Hdd, Dxs, Dxd, Dd,
+        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    ))
+    f = fact()
+    float(f.d[0])  # force completion
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f = fact()
+        float(f.d[0])
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1e3, 2)
 
 
 def sparse_twin_obj(n_bus: int):
@@ -148,7 +199,14 @@ def qn_core(precision: str):
 
 def chol_race(n: int, dtype: str = "float32"):
     """XLA potrf vs Pallas blocked Cholesky at one size, fresh process
-    (VERDICT r2 #4)."""
+    (VERDICT r2 #4, r3 #3).  Timing methodology: each rep fetches a scalar
+    REDUCED FROM THE RESULT to the host, so the remote relay cannot report
+    completion before the factorization actually ran (block_until_ready on
+    this relay returns early for cached-executable dispatches).  The Pallas
+    lane calls ``pallas_cholesky`` directly — above its VMEM budget it
+    fails loudly here instead of silently dispatching XLA against itself.
+    A sanity bound rejects timings implying more than the chip's absolute
+    peak (BENCH_PEAK_TFLOPS, default 250 TF/s)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -158,27 +216,40 @@ def chol_race(n: int, dtype: str = "float32"):
     rng = np.random.default_rng(0)
     a = rng.standard_normal((n, n))
     A = jnp.asarray(a @ a.T + n * np.eye(n), dtype=dtype)
+    flops = n ** 3 / 3.0
+    peak = float(__import__("os").environ.get("BENCH_PEAK_TFLOPS", "250")) * 1e12
 
     def measure(fn):
         out = fn(A)
-        jax.block_until_ready(out)
+        float(jnp.sum(out[-1]))  # force real completion
         best = float("inf")
         for _ in range(8):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(A))
+            out = fn(A)
+            float(jnp.sum(out[-1]))
             best = min(best, time.perf_counter() - t0)
+        if flops / best > peak:
+            raise RuntimeError(
+                f"implausible timing {best*1e3:.3f} ms = "
+                f"{flops/best/1e12:.0f} TFLOP/s > peak {peak/1e12:.0f}"
+            )
         return best
 
-    t_xla = measure(jax.jit(lambda M: jnp.linalg.cholesky(M)))
-    res = dict(bench=f"chol{n}_{dtype}", xla_ms=round(t_xla * 1e3, 3))
+    t_xla = measure(jax.jit(jnp.linalg.cholesky))
+    res = dict(bench=f"chol{n}_{dtype}", xla_ms=round(t_xla * 1e3, 3),
+               xla_gflops=round(flops / t_xla / 1e9, 1))
     try:
-        t_pallas = measure(jax.jit(chol.cholesky))
+        if 2 * n * n > chol._MAX_VMEM_ELEMS or n % chol._BLOCK:
+            raise MemoryError(
+                f"n={n} exceeds the Pallas whole-matrix VMEM budget "
+                f"({chol._MAX_VMEM_ELEMS} elems / 2 buffers)"
+            )
+        t_pallas = measure(lambda M: chol.pallas_cholesky(M))
         res["pallas_ms"] = round(t_pallas * 1e3, 3)
-    except Exception as e:  # VMEM cliff etc.
+        res["pallas_gflops"] = round(flops / t_pallas / 1e9, 1)
+    except Exception as e:  # VMEM cliff etc. — report, never race XLA
         res["pallas_ms"] = None
-        res["pallas_skip"] = type(e).__name__
-    flops = n ** 3 / 3.0
-    res["xla_gflops"] = round(flops / t_xla / 1e9, 1)
+        res["pallas_skip"] = f"{type(e).__name__}: {e}"
     return res
 
 
