@@ -80,15 +80,16 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "solve"
             s_per_iter=round(wall / max(r.iterations, 1), 4),
             status=r.status.name,
         )
+        if k_st.n_fact_total:
+            rec["f32_fact_frac"] = round(
+                k_st.n_fact_f32 / max(k_st.n_fact_total, 1), 3
+            )
         if not fused and k_st.n_fact_total:
             rec.update(
                 fact_s_total=round(k_st.fact_seconds_total(), 2),
                 kkt_s_total=round(k_st.kkt_seconds_total(), 2),
                 fact_ms_per_iter=round(
                     1e3 * k_st.fact_seconds_total() / max(r.iterations, 1), 2
-                ),
-                f32_fact_frac=round(
-                    k_st.n_fact_f32 / max(k_st.n_fact_total, 1), 3
                 ),
             )
         runs.append(rec)

@@ -271,6 +271,135 @@ def solve_saddle_device(f: MdsSaddleDeviceFactors, rxs_t, rxd_t, rd_t, ryc, ryd)
     return dxs, dxd, dd, dyc, dyd
 
 
+class MdsSaddleDeviceMpFactors(NamedTuple):
+    """Mixed-precision fused-path factors: the f64 saddle M is symmetrically
+    row-max equilibrated (a congruence — inertia preserved), cast to f32 and
+    factorized by the blocked no-pivot LDL^T ON THE MXU; M itself is kept
+    for the f64 iterative-refinement matvecs. This is the ReSolve pattern
+    (f32-speed factorization + f64 IR certification,
+    /root/reference/src/LinAlg/ReSolve/RefactorizationSolver.hpp:74,
+    IterativeRefinement.hpp:25) realized entirely on device inside one XLA
+    program: at the B=512 ACOPF shape the 4710^2 f64 emulated LDL^T costs
+    29-66 s while the equilibrated f32 factorization is ~10^3 x cheaper.
+    All leaves are arrays (lax.while_loop-safe)."""
+    L: jax.Array        # f32 unit-lower LDL factor (padded)
+    d: jax.Array        # f32 pivots (padded)
+    s: jax.Array        # (nd+m,) f64 equilibration scale
+    M: jax.Array        # (nd+m, nd+m) f64 saddle (IR operator)
+    ks_inv: jax.Array
+    Js: jax.Array
+    Jdn: jax.Array
+    dd_tot: jax.Array
+    ok: jax.Array       # finite f32 factorization AND inertia == mc + md
+
+
+def factorize_saddle_device_mp(
+    hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
+    delta_wx, delta_wd, delta_cc, delta_cd,
+):
+    """Traceable mixed-precision analogue of :func:`factorize_saddle_device`:
+    assemble the saddle in f64, equilibrate, factorize in f32. Inertia
+    acceptance (pivot signs + Haynsworth count of the eliminated diagonal)
+    is folded into ``ok`` exactly as in the f64 variant — the equilibration
+    D M D is a congruence, so the f32 pivot signs count the same inertia."""
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    mc, md = Jc_s.shape[0], Jd_s.shape[0]
+    dt = Hdd.dtype
+    tol_ks = 1e-14
+
+    ks = hss + Dxs + delta_wx
+    ks_ok = jnp.all(jnp.abs(ks) > tol_ks)
+    n_neg_ks = jnp.sum(ks < -tol_ks)
+    ks_inv = jnp.where(
+        jnp.abs(ks) > tol_ks, 1.0 / jnp.where(ks == 0, 1.0, ks), 0.0
+    )
+    Js = jnp.concatenate([Jc_s, Jd_s], axis=0)
+    Jdn = jnp.concatenate([Jc_d, Jd_d], axis=0)
+    dd_tot = Dd + delta_wd
+    dd_inv = jnp.where(dd_tot > 0, 1.0 / jnp.maximum(dd_tot, 1e-300), 0.0)
+
+    Kd = Hdd + jnp.diag(Dxd + delta_wx)
+    C = (Js * ks_inv) @ Js.T + jnp.diag(
+        jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
+    )
+    M = jnp.block([[Kd, Jdn.T], [Jdn, -C]])
+
+    # symmetric row-max equilibration: the barrier diagonals blow up as
+    # mu -> 0 (Dx ~ z/s with active slacks -> 0); scaling the huge rows to
+    # unit max keeps the f32 factorization's condition number bounded far
+    # below 1/eps_f32 deep into the barrier trajectory
+    rmax = jnp.max(jnp.abs(M), axis=1)
+    s = jnp.where(rmax > 0, 1.0 / jnp.sqrt(jnp.maximum(rmax, 1e-300)), 1.0)
+    Ms = (s[:, None] * M * s[None, :]).astype(jnp.float32)
+    f = _ldl.ldl_factor(Ms)
+    ok = f.ok & ks_ok & (f.n_neg + n_neg_ks == mc + md)
+    return MdsSaddleDeviceMpFactors(
+        f.L, f.d, s, M, ks_inv, Js, Jdn, dd_tot, ok
+    )
+
+
+def _mp_solve_refined(f: MdsSaddleDeviceMpFactors, rhs,
+                      ir_tol: float = 1e-9, max_ir: int = 8):
+    """Solve M x = rhs through the equilibrated f32 factors with f64
+    iterative refinement. Returns (x, certified): `certified` is the
+    f64 relative residual test ||rhs - M x|| <= ir_tol * (||rhs|| +
+    ||M||_max ||x||), the on-device equivalent of the host tiers' FGMRES-IR
+    certification (filter_ipm._maybe_refine)."""
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    n = rhs.shape[0]
+    lf = _ldl.LdlFactors(f.L, f.d, n, jnp.asarray(0), f.ok)
+    dt = rhs.dtype
+
+    def solve32(r):
+        y32 = _ldl.ldl_solve(lf, (f.s * r).astype(jnp.float32))
+        return f.s * y32.astype(dt)
+
+    m_norm = jnp.max(jnp.abs(f.M))
+    b_norm = jnp.linalg.norm(rhs)
+
+    def relres(x, r):
+        return jnp.linalg.norm(r) / jnp.maximum(
+            b_norm + m_norm * jnp.linalg.norm(x), 1e-300
+        )
+
+    x0 = solve32(rhs)
+    r0 = rhs - f.M @ x0
+
+    def cond(carry):
+        k, x, r = carry
+        return (relres(x, r) > ir_tol) & (k < max_ir)
+
+    def body(carry):
+        k, x, r = carry
+        x = x + solve32(r)
+        r = rhs - f.M @ x
+        return k + 1, x, r
+
+    _k, x, r = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), x0, r0))
+    certified = (relres(x, r) <= ir_tol) & jnp.all(jnp.isfinite(x))
+    return x, certified
+
+
+def solve_saddle_device_mp(f: MdsSaddleDeviceMpFactors, rxs_t, rxd_t, rd_t,
+                           ryc, ryd, ir_tol: float = 1e-9):
+    """Direction recovery for :func:`factorize_saddle_device_mp` with IR
+    certification; returns (dxs, dxd, dd, dyc, dyd, certified)."""
+    nd = rxd_t.shape[0]
+    mc = ryc.shape[0]
+    dd_inv = jnp.where(f.dd_tot > 0, 1.0 / jnp.maximum(f.dd_tot, 1e-300), 0.0)
+    rhs_y = jnp.concatenate([ryc, ryd + dd_inv * rd_t]) - f.Js @ (f.ks_inv * rxs_t)
+    rhs = jnp.concatenate([rxd_t, rhs_y])
+    sol, certified = _mp_solve_refined(f, rhs, ir_tol=ir_tol)
+    dxd = sol[:nd]
+    dy = sol[nd:]
+    dyc, dyd = dy[:mc], dy[mc:]
+    dxs = f.ks_inv * (rxs_t - f.Js.T @ dy)
+    dd = dd_inv * (rd_t + dyd)
+    return dxs, dxd, dd, dyc, dyd, certified
+
+
 class MdsSchurHostFactors(NamedTuple):
     """Bordered sparse safe-tier factors (host): the MDS saddle
 

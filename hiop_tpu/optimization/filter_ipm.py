@@ -2348,6 +2348,12 @@ class FilterIPMBase:
             # on-device inertia-revealing KKT for the fused modes (the
             # structurally-indefinite answer; see fused_newton)
             fused_ldl=o.str_("linear_solver_dense") == "ldl_nopiv",
+            # mixed precision inside the fused program (kkt_fact_dtype=
+            # float32): equilibrated f32 LDL^T + on-device f64 IR
+            # certification, f64 refactorize only on IR failure — the
+            # ReSolve pattern (RefactorizationSolver.hpp:74) fully on device
+            fused_mp=o.str_("kkt_fact_dtype") == "float32",
+            fused_ir_tol=min(o.num("ir_inner_tol_min"), 1e-9),
         )
         if self._fused_mode == "qn":
             from hiop_tpu.optimization import hessian_lowrank as blr
@@ -2410,14 +2416,21 @@ class FilterIPMBase:
         for i in range(min(it_num + 1, hist.shape[0])):
             self.iter_num = i
             (f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i,
-             _err_i, soc_i) = hist[i]
+             _err_i, soc_i, _f32_i) = hist[i]
             self._output_iteration(
                 f_i, feas_i, opt_i, mu_i, adu_i, apr_i,
                 int(lsn_i), int(lss_i) if i else -1, use_soc=int(soc_i),
             )
-        self._err_nlp0 = float(hist[0, fn.HIST_COLS - 2])
+        self._err_nlp0 = float(hist[0, fn.HIST_ERR])
         self.iter_num = it_num
         stats.n_iters = it_num
+        # per-iteration f32-vs-f64 factorization accounting from the history
+        # buffer (runstats f32-fraction parity with the host loop's
+        # kkt.n_fact_* counters; hist rows past it_num are undefined)
+        if it_num > 0 and consts.get("fused_mp"):
+            used = hist[:it_num, 10]
+            stats.kkt.n_fact_total += int(used.shape[0])
+            stats.kkt.n_fact_f32 += int(used.sum())
 
         if st == 6:
             raise _FusedFallback("factorization needs regularization")
@@ -2526,6 +2539,9 @@ class FilterIPMBase:
             state = new_state
             self.iter_num += 1
             stats.n_iters = self.iter_num
+            if consts.get("fused_mp"):
+                stats.kkt.n_fact_total += 1
+                stats.kkt.n_fact_f32 += int(bool(sh.mp_f32))
 
         obj = nlp.unscaled_obj(float(state.f))
         stats.tm_optimize_total.stop()

@@ -42,8 +42,10 @@ MAX_LS = 30
 
 #: columns of the per-iteration history buffer returned by the fused solve
 #: (jit_mode=solve): f, nlp_feasib, nlp_optim, mu, alpha_du, alpha_pr,
-#: ls_count, ls_status, err_nlp, use_soc
-HIST_COLS = 10
+#: ls_count, ls_status, err_nlp, use_soc, mp_f32 (iteration's factorization
+#: stayed in certified f32)
+HIST_COLS = 11
+HIST_ERR = 8
 
 
 class FusedScalars(NamedTuple):
@@ -65,6 +67,7 @@ class FusedScalars(NamedTuple):
     filter_add: jax.Array    # bool: host should append (theta, phi) trial
     theta_add: jax.Array
     phi_add: jax.Array
+    mp_f32: jax.Array        # bool: factorization used certified f32 (mp)
 
 
 class _FusedLdlFactors(NamedTuple):
@@ -199,6 +202,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
                     s.ls_status.astype(dtype),
                     s.err_nlp.astype(dtype),
                     s.use_soc.astype(dtype),
+                    s.mp_f32.astype(dtype),
                 ]
             )
             zero = jnp.asarray(0, jnp.int32)
@@ -269,7 +273,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
         state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = (
             jax.lax.while_loop(cond, body, carry0)
         )
-        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_COLS - 2]
+        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_ERR]
         return state, mu, it_num, st, err_nlp, hist
 
     solve = jax.jit(solve, static_argnums=())
@@ -401,6 +405,9 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         MAX_REG = 6
 
         def fact_with_reg(fact_fn, dtype):
+            """Run the on-device regularization ladder; returns
+            (factors, final_delta_w, final_delta_c) — the deltas feed the
+            mixed-precision path's f64 refactorization on IR failure."""
             fct0 = fact_fn(jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
             dc = jnp.asarray(delta_c_bar, dtype) * mu**kappa_c
 
@@ -415,10 +422,11 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 )
                 return (k + 1, dw_new, fact_fn(dw_new, dc))
 
-            _k, _dw, fct = jax.lax.while_loop(
+            k_fin, dw_fin, fct = jax.lax.while_loop(
                 reg_cond, reg_body, (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype), fct0)
             )
-            return fct
+            dc_fin = jnp.where(k_fin > 0, dc, jnp.asarray(0.0, dtype))
+            return fct, dw_fin, dc_fin
 
         # linear_solver_dense=ldl_nopiv selects the inertia-revealing
         # on-device factorization INSIDE the fused program: blocked no-pivot
@@ -432,6 +440,15 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         # densified ACOPF twin) — dense formulations keep the Cholesky
         # ladder + host fallback.
         use_ldl = bool(consts.get("fused_ldl", False)) and is_mds
+        # mixed precision (kkt_fact_dtype=float32): factorize the saddle in
+        # equilibrated f32 on the MXU, certify each solve with on-device f64
+        # iterative refinement, and only on certification failure refactorize
+        # in f64 (lax.cond — the expensive branch executes only when taken).
+        # The on-device realization of the adaptive schedule
+        # (mp_schedule=adaptive) of the host loop's _mp_fact_dtype.
+        fused_mp = bool(consts.get("fused_mp", False)) and use_ldl
+        ir_tol = consts.get("fused_ir_tol", 1e-9)
+        mp_f32 = jnp.asarray(False)
 
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         if is_qn:
@@ -450,8 +467,60 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd, th)
             else:
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
-            if use_ldl:
-                fct = fact_with_reg(
+            if use_ldl and fused_mp:
+                fct32, dw_fin, dc_fin = fact_with_reg(
+                    lambda dw, dc: kkt_mds.factorize_saddle_device_mp(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                        dw, dw, dc, dc,
+                    ),
+                    it.x.dtype,
+                )
+                # certification probe on the iteration's primary rhs: if the
+                # f32 factors + f64 IR cannot deliver the direction to
+                # ir_tol, refactorize in f64 at the ladder's final deltas
+                rx0, rd0, ryc0, ryd0 = res_mod.compress_rhs_xdycyd(resid, it, b)
+                probe = kkt_mds.solve_saddle_device_mp(
+                    fct32, rx0[:ns], rx0[ns:], rd0, ryc0, ryd0, ir_tol
+                )
+                cert = probe[5]
+                need64 = fct32.ok & ~cert
+                mp_f32 = fct32.ok & cert
+
+                def _fact64(_):
+                    return kkt_mds.factorize_saddle_device(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                        dw_fin, dw_fin, dc_fin, dc_fin,
+                    )
+
+                def _fact64_dummy(_):
+                    f64dt = fct32.M.dtype
+                    return kkt_mds.MdsSaddleDeviceFactors(
+                        jnp.zeros(fct32.L.shape, f64dt),
+                        jnp.zeros(fct32.L.shape[:1], f64dt),
+                        fct32.ks_inv, fct32.Js, fct32.Jdn, fct32.dd_tot,
+                        jnp.asarray(False),
+                    )
+
+                fct64 = jax.lax.cond(need64, _fact64, _fact64_dummy, 0)
+                fct_ok = jnp.where(need64, fct64.ok, fct32.ok)
+
+                def solve_compressed(rx_t, rd_t, ryc, ryd):
+                    def s64(_):
+                        return kkt_mds.solve_saddle_device(
+                            fct64, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                        )
+
+                    def s32(_):
+                        return kkt_mds.solve_saddle_device_mp(
+                            fct32, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol
+                        )[:5]
+
+                    dxs, dxd, dd, dyc, dyd = jax.lax.cond(need64, s64, s32, 0)
+                    return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+            elif use_ldl:
+                fct, _dw, _dc = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize_saddle_device(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
@@ -466,7 +535,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     )
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
             else:
-                fct = fact_with_reg(
+                fct, _dw, _dc = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
@@ -481,12 +550,13 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     )
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
 
-            fct_ok = fct.ok
+            if not fused_mp:
+                fct_ok = fct.ok
         else:
             from hiop_tpu.kkt import newton_dense as kkt_nd
 
             H = hess(it.x, it.yc, it.yd, th)
-            fct = fact_with_reg(
+            fct, _dw, _dc = fact_with_reg(
                 lambda dw, dc: kkt_nd.factorize_quick(
                     H, Dx, Dd, Jc, Jd, dw, dw, dc, dc
                 ),
@@ -722,6 +792,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             use_soc=use_soc & accepted,
             fact_ok=fct_ok, filter_add=filter_add,
             theta_add=theta_t, phi_add=phi_t,
+            mp_f32=mp_f32,
         )
         if parametric:
             return (th, state_new), scal

@@ -77,6 +77,113 @@ def test_mds_residual_demotes_on_bad_f32_solve(monkeypatch):
     assert r.status.is_success
 
 
+def test_saddle_mp_factors_solve_and_inertia():
+    """Unit: the equilibrated-f32 saddle factorization must deliver an
+    IR-certified f64 solve and the exact inertia of the f64 saddle."""
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(3)
+    ns, nd, mc, md = 12, 5, 4, 6
+    hss = jnp.asarray(rng.uniform(0.5, 3.0, ns))
+    A = rng.standard_normal((nd, nd))
+    Hdd = jnp.asarray(A @ A.T + nd * np.eye(nd))
+    Dxs = jnp.zeros(ns)
+    Dxd = jnp.zeros(nd)
+    Dd = jnp.asarray(rng.uniform(0.5, 2.0, md))
+    Jc = jnp.asarray(rng.standard_normal((mc, ns + nd)))
+    Jd = jnp.asarray(rng.standard_normal((md, ns + nd)))
+    z = jnp.asarray(0.0)
+    f = kkt_mds.factorize_saddle_device_mp(
+        hss, Hdd, Dxs, Dxd, Dd, Jc[:, :ns], Jc[:, ns:],
+        Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    )
+    assert bool(f.ok)
+    # inertia check against the f64 eigen-decomposition of the saddle
+    w = np.linalg.eigvalsh(np.asarray(f.M))
+    n_neg_M = int(np.sum(w < 0))
+    assert n_neg_M == mc + md  # ok folded the inertia test already
+
+    rxs = jnp.asarray(rng.standard_normal(ns))
+    rxd = jnp.asarray(rng.standard_normal(nd))
+    rd = jnp.asarray(rng.standard_normal(md))
+    ryc = jnp.asarray(rng.standard_normal(mc))
+    ryd = jnp.asarray(rng.standard_normal(md))
+    dxs, dxd, dd, dyc, dyd, cert = kkt_mds.solve_saddle_device_mp(
+        f, rxs, rxd, rd, ryc, ryd
+    )
+    assert bool(cert)
+    # residual of the reduced saddle system
+    dd_inv = 1.0 / np.asarray(f.dd_tot)
+    rhs = np.concatenate([
+        np.asarray(rxd),
+        np.concatenate([ryc, ryd + dd_inv * rd])
+        - np.asarray(f.Js) @ (np.asarray(f.ks_inv) * np.asarray(rxs)),
+    ])
+    sol = np.concatenate([dxd, np.concatenate([dyc, dyd])])
+    res = rhs - np.asarray(f.M) @ sol
+    assert np.linalg.norm(res) <= 1e-8 * (1 + np.linalg.norm(rhs))
+
+
+def test_saddle_mp_survives_barrier_illconditioning():
+    """The equilibration must keep f32+IR certified on a saddle with the
+    late-barrier diagonal blowup (Dx entries ~ 1e10 next to O(1) rows)."""
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(7)
+    ns, nd, mc, md = 20, 4, 3, 5
+    hss = jnp.asarray(rng.uniform(0.5, 2.0, ns))
+    A = rng.standard_normal((nd, nd))
+    Hdd = jnp.asarray(A @ A.T + nd * np.eye(nd))
+    # half the sparse vars at active bounds: huge barrier diagonals
+    Dxs = jnp.asarray(np.where(np.arange(ns) % 2 == 0, 1e10, 1e-4))
+    Dxd = jnp.asarray(np.full(nd, 1e8))
+    Dd = jnp.asarray(rng.uniform(1e-6, 1e6, md))
+    Jc = jnp.asarray(rng.standard_normal((mc, ns + nd)))
+    Jd = jnp.asarray(rng.standard_normal((md, ns + nd)))
+    z = jnp.asarray(0.0)
+    f = kkt_mds.factorize_saddle_device_mp(
+        hss, Hdd, Dxs, Dxd, Dd, Jc[:, :ns], Jc[:, ns:],
+        Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    )
+    assert bool(f.ok)
+    rhs_parts = [rng.standard_normal(k) for k in (ns, nd, md, mc, md)]
+    out = kkt_mds.solve_saddle_device_mp(
+        f, *(jnp.asarray(p) for p in rhs_parts)
+    )
+    assert bool(out[5]), "IR failed to certify on the equilibrated system"
+
+
+def test_fused_solve_mixed_precision_matches_f64():
+    """jit_mode=solve with kkt_fact_dtype=float32: the whole solve runs as
+    one XLA program with the equilibrated-f32 LDL^T + on-device f64 IR, and
+    must converge to the same objective as the f64 fused solve, actually
+    using f32 factorizations (runstats accounting from the history buffer)."""
+    common = dict(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0, jit_mode="solve",
+        linear_solver_dense="ldl_nopiv",
+    )
+    o32 = NlpOptions()
+    o32.update(kkt_fact_dtype="float32", mp_schedule="adaptive", **common)
+    nlp32 = NlpMDS(AcopfMds(32), o32)
+    r32 = FilterIPMNewton(nlp32).run()
+
+    o64 = NlpOptions()
+    o64.update(kkt_fact_dtype="float64", **common)
+    nlp64 = NlpMDS(AcopfMds(32), o64)
+    r64 = FilterIPMNewton(nlp64).run()
+
+    ref, tol = SELFCHECK[32]
+    assert r32.status.is_success
+    assert abs(r32.obj - ref) <= tol * max(1.0, abs(ref))
+    assert abs(r32.obj - r64.obj) <= 1e-5 * max(1.0, abs(r64.obj))
+    k = nlp32.runstats.kkt
+    assert k.n_fact_total > 0 and k.n_fact_f32 > 0
+    # the equilibrated f32 tier should carry (nearly) every iteration on
+    # this well-scaled driver problem
+    assert k.n_fact_f32 >= 0.8 * k.n_fact_total
+
+
 def test_deescalation_reenters_f32():
     """Unit-level: N clean safe-mode iterations step the ladder back and
     re-enable f32 (switch_to_fast_KKT analogue)."""
