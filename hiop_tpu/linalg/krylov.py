@@ -264,6 +264,7 @@ def fgmres(
     stop = max(tol * b_norm, 1e-300)
     total_it = 0
     n_restarts = 0
+    n_stagnant = 0
     r_norm = float("inf")
     last_beta = float("inf")
     while total_it < maxit:
@@ -272,11 +273,15 @@ def fgmres(
         r_norm = beta
         if beta <= stop:
             return x, KrylovInfo(True, total_it, beta)
-        # breakdown / stagnation guard: a non-finite residual or a restart
-        # cycle that made no progress (e.g. a degenerate preconditioner —
-        # a Givens breakdown at j=0 does not even increment total_it) must
-        # report failure instead of spinning through restarts forever
-        if not np.isfinite(beta) or (n_restarts > 0 and beta >= 0.999 * last_beta):
+        # breakdown / stagnation guard: a non-finite residual fails
+        # immediately; lack of progress must persist for TWO consecutive
+        # restart cycles before reporting failure (ADVICE r3: a single
+        # near-stagnant cycle on slowly-but-steadily converging IR would
+        # otherwise permanently demote f32 under mp_schedule=adaptive)
+        if not np.isfinite(beta):
+            return x, KrylovInfo(False, total_it, beta)
+        n_stagnant = n_stagnant + 1 if beta >= 0.999 * last_beta else 0
+        if n_restarts > 0 and n_stagnant >= 2:
             return x, KrylovInfo(False, total_it, beta)
         last_beta = beta
         n_restarts += 1

@@ -248,10 +248,16 @@ def _maybe_deescalate_safe(strategy) -> None:
     if not strategy._safe_mode or strategy._deesc_budget <= 0:
         strategy._deesc_clean = 0
         return
-    # delta_wx == 0 from the live perturbation state implies the previous
-    # iteration factorized clean on the first try (every correction path
-    # sets a positive delta)
-    clean = strategy.perturb.delta_wx == 0.0
+    # 'clean' = the previous iteration factorized on the first try with NO
+    # regularization of any kind: primal (delta_wx), dual/singularity
+    # (delta_cc), or correction retries (ADVICE r3: delta_cc-only bumps and
+    # MAX_REFACT corrections must also reset the streak)
+    kkt_stats = getattr(getattr(strategy, "stats", None), "kkt", None)
+    clean = (
+        strategy.perturb.delta_wx == 0.0
+        and getattr(strategy.perturb, "delta_cc", 0.0) == 0.0
+        and getattr(kkt_stats, "n_update_corrections_prev", 0) == 0
+    )
     strategy._deesc_clean = strategy._deesc_clean + 1 if clean else 0
     if strategy._deesc_clean >= strategy._deesc_n:
         strategy._safe_mode -= 1
@@ -564,9 +570,42 @@ class _NewtonDenseStrategy:
                     if self.fact_dtype != jnp.float64 and self.kkt_kind in (
                         "xdycyd", "xycyd",
                     ):
+                        was_f32 = self.fact_dtype == jnp.float32
                         dx, dd, dyc, dyd = self._inner_refine(
                             f, (rx_t, rd_t, ryc, ryd), (dx, dd, dyc, dyd)
                         )
+                        if was_f32 and self.fact_dtype == jnp.float64:
+                            # certification failed and the schedule demoted:
+                            # do NOT use the uncertified direction — redo
+                            # this iteration's factorization in f64 (the MDS
+                            # path's retry, ADVICE r3)
+                            n_correction += 1
+                            self.stats.kkt.n_update_corrections = n_correction
+                            continue
+            if (
+                not self.inertia_free
+                and self._safe_mode
+                and self.fact_dtype == jnp.float32
+            ):
+                # f32 pivot signs can flip on near-zero pivots and falsely
+                # report correct inertia; cross-check the accepted f32
+                # safe-tier factorization with the curvature test (the MDS
+                # safe_f32 branch's acceptance, ADVICE r3)
+                p = self.perturb
+                good = bool(
+                    kkt_nd.curvature_test(
+                        self._H, self._Dx, self._Dd, p.delta_wx, p.delta_wd,
+                        dx, dd, self.neg_curv_fact,
+                    )
+                )
+                if not good:
+                    n_correction += 1
+                    self.stats.kkt.n_update_corrections = n_correction
+                    if not self.perturb.compute_perturb_wrong_inertia():
+                        raise _StepComputationError(
+                            "f32 curvature cross-check regularization exhausted"
+                        )
+                    continue
             if self.inertia_free:
                 p = self.perturb
                 good = bool(

@@ -164,7 +164,7 @@ class FeasibilityRestorationProblem(NlpProblem):
         small enough and the point is not in the original filter
         (hiopFRProbSparse::iterate_callback)."""
         z = jnp.asarray(info.x)
-        x = z[: self.n_x]
+        x, *_ = self._split(z)
         c, d = self.base.eval_cons(x)
         crhs = self.base.crhs
         # the FR solver's inequality slacks for the base-ineq rows

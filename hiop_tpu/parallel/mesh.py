@@ -126,6 +126,24 @@ class PaddedDenseProblem:
             [J, jnp.zeros((J.shape[0], self.pad), J.dtype)], axis=1
         )
 
+    def eval_hess_lagr(self, x, obj_factor, lam):
+        """Embed the inner Hessian in the top-left block and IDENTITY in the
+        pad block: with zero pad gradient/Jacobian the Newton direction on
+        the pad is exactly H_pad^{-1}·0 = 0, and the pad block contributes
+        no spurious curvature or singularity (an all-zero pad block would
+        make the KKT factorization singular and trigger regularization that
+        perturbs the real variables' trajectory)."""
+        import jax.numpy as jnp
+
+        H = jnp.asarray(
+            self.inner.eval_hess_lagr(x[: self.n_orig], obj_factor, lam)
+        )
+        n_pad = self.n_orig + self.pad
+        out = jnp.zeros((n_pad, n_pad), H.dtype)
+        out = out.at[: self.n_orig, : self.n_orig].set(H)
+        idx = jnp.arange(self.n_orig, n_pad)
+        return out.at[idx, idx].set(1.0)
+
 
 def shard_formulation(nlp, mesh: Mesh, axis_name: str = "n") -> None:
     """Shard an initialized formulation's n-sized data over the mesh.

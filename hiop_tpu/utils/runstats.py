@@ -25,6 +25,10 @@ class KKTSolveStats:
         self.n_iter_refin_inner = 0
         self.n_iter_refin_outer = 0
         self.n_update_corrections = 0       # regularization (inertia-correction) retries
+        #: previous iteration's correction count (start_iter resets the live
+        #: counter BEFORE strategy.prepare runs; the de-escalation clean-
+        #: streak test reads the value the last iteration ended with)
+        self.n_update_corrections_prev = 0
         # cumulative (NOT reset per iteration): mixed-precision accounting —
         # the f64-avoided fraction n_fact_f32/n_fact_total is the adaptive
         # schedule's headline metric
@@ -56,6 +60,7 @@ class KKTSolveStats:
             t.reset()
         self.n_iter_refin_inner = 0
         self.n_iter_refin_outer = 0
+        self.n_update_corrections_prev = self.n_update_corrections
         self.n_update_corrections = 0
 
     def summary_last_iter(self) -> str:

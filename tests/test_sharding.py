@@ -257,6 +257,42 @@ def test_sharded_pad_and_mask_uneven_n():
 
 
 @needs_multi
+def test_sharded_newton_pad_uneven_n():
+    """Newton (analytical_exact Hessian) on an auto-padded uneven-n
+    problem: PaddedDenseProblem.eval_hess_lagr must embed the inner
+    Hessian with an identity pad block, keeping the pad variables exactly
+    inert (ADVICE r3: an inconsistent delegated Hessian broke this)."""
+    import jax.numpy as jnp
+    from hiop_tpu import AutoDiffNlpProblem, FilterIPMNewton
+
+    n = 13
+
+    def make():
+        return AutoDiffNlpProblem(
+            f=lambda x: jnp.sum((x - 0.7) ** 2) + 0.05 * jnp.sum(x**4),
+            c=lambda x: jnp.stack([jnp.sum(x)]),
+            xl=np.full(n, -3.0), xu=np.full(n, 3.0),
+            cl=np.array([1.0]), cu=np.array([4.0]),
+            x0=np.full(n, 0.2),
+        )
+
+    def run(shard):
+        o = NlpOptions()
+        o.update(verbosity_level=0, Hessian="analytical_exact")
+        nlp = NlpDenseConstraints(make(), o)
+        if shard:
+            shard_formulation(nlp, make_mesh(4))
+        return FilterIPMNewton(nlp).run()
+
+    r1, r4 = run(False), run(True)
+    assert r4.status.is_success
+    assert r4.iterations == r1.iterations
+    assert abs(r4.obj - r1.obj) <= 1e-9 * (1 + abs(r1.obj))
+    assert r4.x.shape == (n,)
+    np.testing.assert_allclose(r4.x, r1.x, atol=1e-8)
+
+
+@needs_multi
 def test_sharded_mds_newton_acopf_b512_matches_single():
     """Sharded-vs-single equivalence at the NORTH-STAR shape (B=512:
     5120 sparse + 102 dense vars, m=4608). Full convergence is minutes on
