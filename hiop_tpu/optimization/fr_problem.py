@@ -259,6 +259,129 @@ class SparseFeasibilityRestorationProblem(FeasibilityRestorationProblem):
         return jnp.concatenate([base_vals, jnp.asarray(diag, z.dtype)])
 
 
+class MdsFeasibilityRestorationProblem(FeasibilityRestorationProblem):
+    """MDS-structured FR NLP (hiopFRProbMDS, hiopFRProb.hpp:238).
+
+    The relaxation variables p/n join the SPARSE block — they enter the
+    constraints as ±identity triplet entries and the Hessian not at all —
+    so the FR variable order is z = [x_s, p_e, n_e, p_i, n_i, x_d]:
+    (n_s + 2m) sparse + n_d dense variables.  The nested IPM then routes
+    through the MDS KKT strategies (triplet Schur elimination + dense-block
+    factorization) instead of dense-assembling [J | -I | I] — at the B=512
+    ACOPF shape the generic dense FR Jacobian would be (4608, 13,934).
+
+    Constraint rows are ordered [base eq; base ineq], matching the generic
+    FR classes; Jacobian/Hessian values come from the base NlpMDS
+    formulation's scaled split evaluations."""
+
+    def __init__(self, base_form, x_ref, mu: float, nrmInf_feas_ref: float):
+        super().__init__(base_form, x_ref, mu, nrmInf_feas_ref)
+        b = base_form
+        self.ns = b.n_sparse
+        self.nd = b.n_dense
+        me, mi, m = self.m_eq, self.m_ineq, self.m
+        ns = self.ns
+        # sparse-block structure in FR row order (eq rows first), with the
+        # p/n columns appended after the base sparse columns
+        base_rows = np.concatenate([b.jac_sp_eq_rows, me + b.jac_sp_in_rows])
+        base_cols = np.concatenate([b.jac_sp_eq_cols, b.jac_sp_in_cols])
+        pn_rows = np.concatenate(
+            [np.arange(me), np.arange(me), me + np.arange(mi), me + np.arange(mi)]
+        )
+        pn_cols = ns + np.concatenate(
+            [
+                np.arange(me),                 # p_e
+                me + np.arange(me),            # n_e
+                2 * me + np.arange(mi),        # p_i
+                2 * me + mi + np.arange(mi),   # n_i
+            ]
+        )
+        self._fr_jr = np.concatenate([base_rows, pn_rows]).astype(np.int64)
+        self._fr_jc = np.concatenate([base_cols, pn_cols]).astype(np.int64)
+        self._pn_vals = np.concatenate(
+            [-np.ones(me), np.ones(me), -np.ones(mi), np.ones(mi)]
+        )
+
+    # -- MDS structure surface ---------------------------------------------
+    def get_sparse_dense_blocks_info(self):
+        return self.ns + 2 * self.m, self.nd
+
+    def jac_sparse_structure(self):
+        return self._fr_jr, self._fr_jc
+
+    def eval_jac_blocks(self, z):
+        x, *_ = self._split(z)
+        (veq, vin), De, Di = self.base.eval_jac_blocks_split(x)
+        pn = jnp.asarray(self._pn_vals, z.dtype)
+        sp_vals = jnp.concatenate([veq, vin, pn])
+        dense_blk = jnp.concatenate([De, Di], axis=0)
+        return sp_vals, dense_blk
+
+    def eval_hess_blocks(self, z, obj_factor, lam):
+        x, *_ = self._split(z)
+        yc = lam[: self.m_eq]
+        yd = lam[self.m_eq:]
+        hss, hdd = self.base.eval_hess_blocks(x, 0.0, yc, yd)
+        drs = self.DR[: self.ns]
+        drd = self.DR[self.ns:]
+        hss_fr = jnp.concatenate(
+            [
+                hss + obj_factor * self.zeta * drs * drs,
+                jnp.zeros((2 * self.m,), hss.dtype),
+            ]
+        )
+        hdd_fr = hdd + obj_factor * self.zeta * jnp.diag(drd * drd)
+        return hss_fr, hdd_fr
+
+    # -- reordered generic surface ------------------------------------------
+    def _split(self, z):
+        ns, me, mi, nd = self.ns, self.m_eq, self.m_ineq, self.nd
+        xs = z[:ns]
+        pe = z[ns:ns + me]
+        ne = z[ns + me:ns + 2 * me]
+        pi = z[ns + 2 * me:ns + 2 * me + mi]
+        ni = z[ns + 2 * me + mi:ns + 2 * me + 2 * mi]
+        xd = z[ns + 2 * self.m:]
+        return jnp.concatenate([xs, xd]), pe, ne, pi, ni
+
+    def _reorder_x_pn(self, x_part, pn_part):
+        """[x..., pn...] (generic order) -> [x_s, pn..., x_d] (MDS order)."""
+        return np.concatenate([x_part[: self.ns], pn_part, x_part[self.ns:]])
+
+    def get_vars_info(self):
+        lo, hi = super().get_vars_info()
+        return (
+            self._reorder_x_pn(lo[: self.n_x], lo[self.n_x:]),
+            self._reorder_x_pn(hi[: self.n_x], hi[self.n_x:]),
+        )
+
+    def get_starting_point(self):
+        z = super().get_starting_point()
+        return self._reorder_x_pn(z[: self.n_x], z[self.n_x:])
+
+    def eval_grad_f(self, z):
+        x, *_ = self._split(z)
+        gx = self.zeta * self.DR * self.DR * (x - self.x_ref)
+        rho = jnp.full((2 * self.m,), RHO, z.dtype)
+        return jnp.concatenate([gx[: self.ns], rho, gx[self.ns:]])
+
+    def eval_jac_cons(self, z):
+        """Dense materialization in the MDS variable order (off-hot-path
+        consumers only; the MDS KKT uses eval_jac_blocks)."""
+        sp_vals, dense_blk = self.eval_jac_blocks(z)
+        J = jnp.zeros((self.m, self.n), z.dtype)
+        J = J.at[self._fr_jr, self._fr_jc].add(sp_vals)
+        return J.at[:, self.ns + 2 * self.m:].set(dense_blk)
+
+    def eval_hess_lagr(self, z, obj_factor, lam):
+        """Dense blkdiag in the MDS variable order (off-hot-path)."""
+        hss, hdd = self.eval_hess_blocks(z, obj_factor, lam)
+        n_sp = self.ns + 2 * self.m
+        H = jnp.zeros((self.n, self.n), z.dtype)
+        H = H.at[jnp.arange(n_sp), jnp.arange(n_sp)].set(hss)
+        return H.at[n_sp:, n_sp:].set(hdd)
+
+
 def apply_feasibility_restoration(solver, it_curr, mu, norms):
     """Drive the nested FR solve (apply_feasibility_restoration,
     hiopAlgFilterIPM.cpp:3040+). Returns the accepted (x, d) dict or None.
@@ -268,6 +391,7 @@ def apply_feasibility_restoration(solver, it_curr, mu, norms):
     ``NlpSparse`` (triplet KKT, hiopFRProbSparse parity); everything else
     uses the dense-constraints FR formulation."""
     from hiop_tpu.formulation.dense import NlpDenseConstraints
+    from hiop_tpu.formulation.mds import NlpMDS
     from hiop_tpu.formulation.sparse import NlpSparse
     from hiop_tpu.utils.options import NlpOptions
     import hiop_tpu.optimization.filter_ipm as fi
@@ -275,11 +399,13 @@ def apply_feasibility_restoration(solver, it_curr, mu, norms):
     base = solver.nlp
     nrm_feas = float(norms.nlp_feasib)
     base_is_sparse = isinstance(base, NlpSparse)
-    fr_cls = (
-        SparseFeasibilityRestorationProblem
-        if base_is_sparse
-        else FeasibilityRestorationProblem
-    )
+    base_is_mds = isinstance(base, NlpMDS)
+    if base_is_sparse:
+        fr_cls = SparseFeasibilityRestorationProblem
+    elif base_is_mds:
+        fr_cls = MdsFeasibilityRestorationProblem
+    else:
+        fr_cls = FeasibilityRestorationProblem
     fr_prob = fr_cls(base, it_curr.x, mu, nrm_feas)
     fr_prob.orig_filter = solver.filter
 
@@ -304,6 +430,8 @@ def apply_feasibility_restoration(solver, it_curr, mu, norms):
         o.update(Hessian="analytical_exact")
     if base_is_sparse:
         nlp_fr = NlpSparse(fr_prob, o, logger=base.log)
+    elif base_is_mds:
+        nlp_fr = NlpMDS(fr_prob, o, logger=base.log)
     else:
         nlp_fr = NlpDenseConstraints(fr_prob, o, logger=base.log)
     alg = fi.FilterIPMNewton(nlp_fr) if newton else fi.FilterIPMQuasiNewton(nlp_fr)

@@ -120,3 +120,112 @@ def test_sparse_fr_scales_no_dense_materialization():
     dt = time.time() - t0
     assert r.iterations >= 1 and np.isfinite(r.obj)
     print(f"FR n={n}: {r.iterations} iters in {dt:.1f}s")
+
+
+# ---------------------------------------------------------------------------
+# MDS FR (MdsFeasibilityRestorationProblem, parity hiopFRProb.hpp:238)
+
+def _mds_base(B, **opts):
+    from examples.acopf_mds import AcopfMds
+    from hiop_tpu import NlpMDS
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax",
+             verbosity_level=0, **opts)
+    nlp = NlpMDS(AcopfMds(B), o)
+    nlp.finalize_initialization()
+    return nlp
+
+
+def test_mds_fr_matches_dense_fr_exactly():
+    """MDS-structured FR == generic dense-assembled FR at a live point,
+    up to the [x_s, p, n, x_d] variable permutation."""
+    from hiop_tpu.optimization.fr_problem import MdsFeasibilityRestorationProblem
+
+    base = _mds_base(8)
+    x_ref = jnp.asarray(base.get_starting_point())
+    fd = FeasibilityRestorationProblem(base, x_ref, 0.1, 2.5)
+    fm = MdsFeasibilityRestorationProblem(base, x_ref, 0.1, 2.5)
+    ns, nd, m, n_x = base.n_sparse, base.n_dense, base.m_eq + base.m_ineq, base.n
+    # z_mds[i] = z_dense[pidx[i]]
+    pidx = np.concatenate([
+        np.arange(ns), n_x + np.arange(2 * m), ns + np.arange(nd)
+    ])
+    z_d = jnp.asarray(fd.get_starting_point()) * 1.01 + 0.003
+    z_m = z_d[pidx]
+
+    np.testing.assert_allclose(
+        np.asarray(fm.get_starting_point()),
+        np.asarray(fd.get_starting_point())[pidx], rtol=1e-14,
+    )
+    lo_m, hi_m = fm.get_vars_info()
+    lo_d, hi_d = fd.get_vars_info()
+    np.testing.assert_allclose(lo_m, lo_d[pidx])
+    np.testing.assert_allclose(hi_m, hi_d[pidx])
+
+    assert float(fm.eval_f(z_m)) == pytest.approx(float(fd.eval_f(z_d)), rel=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(fm.eval_grad_f(z_m)),
+        np.asarray(fd.eval_grad_f(z_d))[pidx], rtol=1e-13, atol=1e-15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fm.eval_cons(z_m)), np.asarray(fd.eval_cons(z_d)),
+        rtol=1e-13, atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fm.eval_jac_cons(z_m)),
+        np.asarray(fd.eval_jac_cons(z_d))[:, pidx], atol=1e-13,
+    )
+    lam = jnp.asarray(np.linspace(-0.5, 0.7, fm.m))
+    np.testing.assert_allclose(
+        np.asarray(fm.eval_hess_lagr(z_m, 0.8, lam)),
+        np.asarray(fd.eval_hess_lagr(z_d, 0.8, lam))[np.ix_(pidx, pidx)],
+        atol=1e-13,
+    )
+
+
+def test_forced_resto_routes_through_mds_fr(monkeypatch):
+    """force_resto on an MDS base must instantiate the MDS FR class, keep
+    the nested formulation MDS-structured, and still converge."""
+    import hiop_tpu.optimization.fr_problem as frm
+    from examples.acopf_mds import SELFCHECK
+
+    made = {}
+    orig = frm.MdsFeasibilityRestorationProblem
+
+    class Spy(orig):
+        def __init__(self, *a, **kw):
+            made["mds_fr"] = True
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(frm, "MdsFeasibilityRestorationProblem", Spy)
+    base = _mds_base(32, force_resto="yes", tolerance=1e-6, mu0=0.1)
+    r = FilterIPMNewton(base).run()
+    assert made.get("mds_fr"), "FR did not route through the MDS class"
+    assert r.status.is_success
+    ref, tol = SELFCHECK[32]
+    assert abs(r.obj - ref) <= tol * max(1.0, abs(ref))
+
+
+def test_mds_fr_stays_block_structured_at_b512_scale():
+    """At the north-star B=512 shape the MDS FR problem must expose only
+    triplet sparse values + the (m, n_d) dense block — never the
+    (m, n + 2m) dense [J | -I | I] the generic class assembles."""
+    from hiop_tpu.optimization.fr_problem import MdsFeasibilityRestorationProblem
+
+    base = _mds_base(512)
+    x_ref = jnp.asarray(base.get_starting_point())
+    fm = MdsFeasibilityRestorationProblem(base, x_ref, 0.1, 1.0)
+    n_sp, n_de = fm.get_sparse_dense_blocks_info()
+    assert n_sp == base.n_sparse + 2 * fm.m
+    assert n_de == base.n_dense
+    z = jnp.asarray(fm.get_starting_point())
+    sp_vals, dense_blk = fm.eval_jac_blocks(z)
+    jr, jc = fm.jac_sparse_structure()
+    assert sp_vals.shape == jr.shape == jc.shape
+    assert dense_blk.shape == (fm.m, base.n_dense)
+    # sparse nnz stays O(base nnz + 2m) — no densification
+    assert sp_vals.size < 30 * fm.m
+    hss, hdd = fm.eval_hess_blocks(z, 1.0, jnp.zeros((fm.m,)))
+    assert hss.shape == (n_sp,)
+    assert hdd.shape == (n_de, n_de)
