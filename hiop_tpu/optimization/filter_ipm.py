@@ -918,6 +918,12 @@ class _SparseDirectStrategy:
                 continue
             dx, dd, dyc, dyd = out
             inert = self.kkt.last_inertia
+            if inert is None:
+                # backend lost its inertia report (splu pivoted fallback):
+                # record it — a high count means the no-pivot symmetric mode
+                # does not hold on this problem's KKT structure and
+                # acceptance is silently degrading to the curvature test
+                self.stats.kkt.n_fact_no_inertia += 1
             if inert is not None and not self.inertia_free:
                 # inertia-correction acceptance (hiopFactAcceptorIC): the
                 # XDYcYd augmented system must have exactly m_eq + m_ineq

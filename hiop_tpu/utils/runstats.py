@@ -34,6 +34,10 @@ class KKTSolveStats:
         # schedule's headline metric
         self.n_fact_total = 0
         self.n_fact_f32 = 0
+        #: cumulative: sparse-direct factorizations whose backend could NOT
+        #: report pivot-sign inertia (e.g. splu's pivoted fallback engaged)
+        #: — acceptance degraded to the inertia-free curvature test
+        self.n_fact_no_inertia = 0
         self._cum_fact_s = 0.0
         self._cum_total_s = 0.0
 
@@ -138,5 +142,10 @@ class RunStats:
                 100.0 * self.kkt.n_fact_f32 / self.kkt.n_fact_total,
             )
             if self.kkt.n_fact_total
+            else ""
+        ) + (
+            "\n  inertia-less sparse factorizations (pivoted fallback): %d"
+            % self.kkt.n_fact_no_inertia
+            if self.kkt.n_fact_no_inertia
             else ""
         )

@@ -358,3 +358,108 @@ def test_splu_inertia_matches_eig_across_reg_ladder(seed):
         b = rng.standard_normal(K.shape[0])
         x = s.solve(b)
         assert np.linalg.norm(K @ x - b) < 1e-7 * (1 + np.linalg.norm(b))
+
+
+def _assembled_kkt_inertia(nlp_cls, problem, opts, deltas, lam_scale=0.0, seed=0):
+    """Assemble the real XDYcYd augmented system of a formulation at its
+    starting point through SparseXDYcYdKKT and return (kkt, splu_inertia,
+    shape info)."""
+    import numpy as np
+    from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
+    from hiop_tpu.optimization import residual as res_mod
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", verbosity_level=0, **opts)
+    nlp = nlp_cls(problem, o)
+    nlp.finalize_initialization()
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(nlp.get_starting_point())
+    yc = jnp.asarray(lam_scale * rng.standard_normal(nlp.m_eq))
+    yd = jnp.asarray(lam_scale * rng.standard_normal(nlp.m_ineq))
+    h_vals = np.asarray(nlp.eval_hess_vals(x0, 1.0, yc, yd))
+    Jc, Jd = nlp.eval_jac(x0)
+    if hasattr(Jc, "vals"):
+        je, ji = np.asarray(Jc.vals), np.asarray(Jd.vals)
+    else:
+        je = np.asarray(Jc)[nlp.jac_eq_rows, nlp.jac_eq_cols]
+        ji = np.asarray(Jd)[nlp.jac_in_rows, nlp.jac_in_cols]
+    Dx = rng.uniform(0.05, 2.0, nlp.n)
+    Dd = rng.uniform(0.05, 2.0, nlp.m_ineq)
+    kkt = SparseXDYcYdKKT(nlp, "splu")
+    assert kkt.factorize(h_vals, Dx, Dd, je, ji, deltas)
+    return nlp, kkt, (h_vals, Dx, Dd, je, ji)
+
+
+@pytest.mark.parametrize("n", [5000])
+def test_splu_nopivot_inertia_holds_on_ex1_kkt_at_scale(n):
+    """VERDICT r3 #7: on the REAL sparse Ex1 augmented system at n=5e3 the
+    splu no-pivot symmetric mode must hold (perm_r == perm_c => inertia
+    reported, not the pivoted inertia-less fallback), and the reported
+    inertia must be the quasi-definite (n + m_i, m_e + m_i, 0)."""
+    import examples.sparse_ex1 as sx1
+    from hiop_tpu import NlpSparse
+
+    nlp, kkt, _ = _assembled_kkt_inertia(
+        NlpSparse, sx1.SparseEx1(n), {}, (0.0, 0.0, 1e-8, 1e-8)
+    )
+    inert = kkt.last_inertia
+    assert inert is not None, "splu fell back to pivoted (inertia-less) mode"
+    npos, nneg, nzero = inert
+    assert nzero == 0
+    # convex Ex1 + positive barrier diagonals: exact quasi-definite inertia
+    assert nneg == nlp.m_eq + nlp.m_ineq
+    assert npos == nlp.n + nlp.m_ineq
+
+
+def test_splu_nopivot_inertia_holds_on_acopf_kkt():
+    """Same assertion on the ACOPF sparse-twin augmented system (B=128,
+    nonconvex Hessian at a random multiplier point), cross-checked against
+    the independent native LDL^T pivot-sign inertia."""
+    from examples.acopf_mds import AcopfSparse
+    from hiop_tpu import NlpSparse
+    from hiop_tpu.kkt.sparse_direct import SparseXDYcYdKKT
+
+    nlp, kkt, state = _assembled_kkt_inertia(
+        NlpSparse, AcopfSparse(128), {"fixed_var": "relax"},
+        (1e-4, 1e-4, 1e-8, 1e-8), lam_scale=0.3, seed=5,
+    )
+    inert = kkt.last_inertia
+    assert inert is not None, "splu fell back to pivoted (inertia-less) mode"
+    kkt_ldl = SparseXDYcYdKKT(nlp, "native_ldl")
+    assert kkt_ldl.factorize(*state, (1e-4, 1e-4, 1e-8, 1e-8))
+    assert kkt_ldl.last_inertia is not None
+    assert inert == kkt_ldl.last_inertia
+
+
+@pytest.mark.slow
+def test_splu_nopivot_inertia_holds_on_ex1_kkt_100k():
+    """The n=1e5 anchor of the same property (slow tier)."""
+    import examples.sparse_ex1 as sx1
+    from hiop_tpu import NlpSparse
+
+    nlp, kkt, _ = _assembled_kkt_inertia(
+        NlpSparse, sx1.SparseEx1(100_000), {}, (0.0, 0.0, 1e-8, 1e-8)
+    )
+    inert = kkt.last_inertia
+    assert inert is not None
+    assert inert == (nlp.n + nlp.m_ineq, nlp.m_eq + nlp.m_ineq, 0)
+
+
+def test_splu_pivoted_fallback_reports_no_inertia_and_still_solves():
+    """The demotion route: a matrix that breaks the no-pivot elimination
+    must engage the pivoted fallback — inertia() returns None (callers then
+    use the curvature acceptor; runstats n_fact_no_inertia counts it) —
+    while solves stay correct."""
+    import numpy as np
+    import scipy.sparse as sp
+    from hiop_tpu.linalg.solver_registry import _splu_factory
+
+    # antidiagonal permutation block: every leading pivot is structurally
+    # zero, so unpivoted elimination cannot proceed
+    n = 8
+    K = sp.csc_matrix(np.fliplr(np.eye(n)))
+    s = _splu_factory(K, "none")
+    assert s.inertia() is None
+    b = np.arange(1.0, n + 1)
+    x = s.solve(b)
+    assert np.linalg.norm(K @ x - b) < 1e-12
