@@ -267,3 +267,196 @@ class SparseXYcYdKKT:
         dyd = sol[n + me:]
         dd = self._dd_inv * (rd_t + dyd)
         return dx, dd, dyc, dyd
+
+
+class DeviceSparseXDYcYdKKT(SparseXDYcYdKKT):
+    """Device-resident numeric refactorization of the sparse XDYcYd
+    augmented system (``linear_solver_sparse=device_ldl``).
+
+    The ReSolve discipline (RefactorizationSolver.hpp:74) on TPU: the
+    symbolic analysis (etree, L pattern, level-scheduled op program) runs
+    once on the host via linalg/sparse_device.DeviceSparseLDL; every
+    numeric factorization of the regularization ladder — only the delta
+    scalars change — assembles the value vector ON DEVICE (a jitted
+    mirror of ``_values``) and runs the jitted level-scheduled numeric,
+    so retries cost no host round trip beyond the 2-scalar inertia sync
+    used by the acceptance test.  With kkt_fact_dtype=float32 the factors
+    are f32 and every solve is certified by f64 iterative refinement
+    through the device COO matvec (the existing mixed-precision
+    contract); an uncertified solve returns None and the strategy's
+    singularity handler regularizes.
+    """
+
+    def __init__(self, nlp, solver_name: str = "device_ldl"):
+        import jax
+        import jax.numpy as jnp
+
+        from hiop_tpu.linalg.sparse_device import DeviceSparseLDL
+
+        # parent builds the static COO structure; give it a real host
+        # factory (native_ldl) it will never use
+        super().__init__(nlp, "native_ldl")
+        # ordering policy (linear_solver_sparse_ordering):
+        #   auto/amd -> unrestricted AMD (fill-optimal; interleaved dual
+        #     pivots can go tiny at small deltas, which the numeric's
+        #     static pivot clamping + IR certification absorb);
+        #   qd_amd -> AMD restricted so every primal column (x, d) comes
+        #     before any dual row: a strictly quasi-definite elimination
+        #     (stable without pivoting [Vanderbei], exact inertia), at the
+        #     cost of dual-Schur fill on non-local structures;
+        #   rcm/none -> as named.
+        ordering = nlp.options.str_("linear_solver_sparse_ordering")
+        if ordering == "qd_amd":
+            from hiop_tpu.native import amd_ordering
+            import scipy.sparse as _sp
+
+            S = _sp.coo_matrix(
+                (np.ones(self._rows.size), (self._rows, self._cols)),
+                shape=(self.ntot, self.ntot),
+            ).tocsr()
+            full_amd = np.asarray(
+                amd_ordering(
+                    self.ntot,
+                    np.asarray(S.indptr, np.int64),
+                    np.asarray(S.indices, np.int64),
+                ),
+                np.int64,
+            )
+            primal = full_amd < (self.n + self.m_ineq)
+            qd_perm = np.concatenate([full_amd[primal], full_amd[~primal]])
+            self._ldl = DeviceSparseLDL(
+                self._rows, self._cols, self.ntot, perm=qd_perm
+            )
+        else:
+            self._ldl = DeviceSparseLDL(
+                self._rows, self._cols, self.ntot,
+                ordering={"auto": "amd"}.get(ordering, ordering),
+            )
+        self._fact_dtype = (
+            np.float32
+            if nlp.options.str_("kkt_fact_dtype") == "float32"
+            else np.float64
+        )
+        self._numeric = self._ldl.get_numeric(self._fact_dtype)
+        self._dev_solve = self._ldl.get_solve()
+        rows = jnp.asarray(self._rows.astype(np.int32))
+        cols = jnp.asarray(self._cols.astype(np.int32))
+        ntot = self.ntot
+        n, me, mi = self.n, self.m_eq, self.m_ineq
+
+        def values_device(hvals, hvals_off, Dx, Dd, je, ji, dwx, dwd, dcc, dcd):
+            return jnp.concatenate(
+                [
+                    hvals, hvals_off,
+                    Dx + dwx, Dd + dwd,
+                    je, je, ji, ji,
+                    jnp.full((2 * mi,), -1.0, hvals.dtype),
+                    jnp.full((me,), -dcc, hvals.dtype),
+                    jnp.full((mi,), -dcd, hvals.dtype),
+                ]
+            )
+
+        def coo_matvec(vals, x):
+            return jnp.zeros((ntot,), vals.dtype).at[rows].add(vals * x[cols])
+
+        def equilibrate(vals):
+            """Symmetric row-max scaling s A s (a congruence — inertia
+            preserved): bounds the f32 factorization's conditioning under
+            the barrier-diagonal blowup, like the fused saddle mp path
+            (kkt/mds.py factorize_saddle_device_mp)."""
+            rmax = jnp.zeros((ntot,), vals.dtype).at[rows].max(jnp.abs(vals))
+            s = jnp.where(rmax > 0, 1.0 / jnp.sqrt(jnp.maximum(rmax, 1e-300)), 1.0)
+            return vals * s[rows] * s[cols], s
+
+        def solve_refined(factors, s, vals64, rhs, tol, max_ir: int = 10):
+            def approx_solve(r):
+                # factors hold s A s: A^{-1} r ~= s (sAs)^{-1} (s r)
+                return s * self._dev_solve(factors, s * r).astype(jnp.float64)
+
+            x = approx_solve(rhs)
+            b_norm = jnp.linalg.norm(rhs)
+            m_norm = jnp.max(jnp.abs(vals64))
+
+            def relres(x, r):
+                return jnp.linalg.norm(r) / jnp.maximum(
+                    b_norm + m_norm * jnp.linalg.norm(x), 1e-300
+                )
+
+            r = rhs - coo_matvec(vals64, x)
+
+            def cond(c):
+                k, x, r = c
+                return (relres(x, r) > tol) & (k < max_ir)
+
+            def body(c):
+                k, x, r = c
+                x = x + approx_solve(r)
+                r = rhs - coo_matvec(vals64, x)
+                return k + 1, x, r
+
+            _k, x, r = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), x, r)
+            )
+            cert = (relres(x, r) <= tol) & jnp.all(jnp.isfinite(x))
+            return x, cert
+
+        self._values_device = jax.jit(values_device)
+        self._equilibrate = jax.jit(equilibrate)
+        self._solve_refined = jax.jit(solve_refined, static_argnames=("max_ir",))
+        self._ir_tol = min(nlp.options.num("ir_inner_tol_min"), 1e-9)
+        self._factors = None
+        self._vals64 = None
+
+    def factorize(self, hvals, Dx, Dd, je_vals, ji_vals, deltas) -> bool:
+        import jax.numpy as jnp
+
+        dwx, dwd, dcc, dcd = (float(x) for x in deltas)
+        hv = jnp.asarray(hvals, jnp.float64)
+        vals = self._values_device(
+            hv, hv[jnp.asarray(self._off)],
+            jnp.asarray(Dx, jnp.float64), jnp.asarray(Dd, jnp.float64),
+            jnp.asarray(je_vals, jnp.float64), jnp.asarray(ji_vals, jnp.float64),
+            dwx, dwd, dcc, dcd,
+        )
+        vals_s, s = self._equilibrate(vals)
+        f = self._numeric(vals_s)
+        ok = bool(f.ok)
+        if not ok:
+            self._factors = None
+            self.last_inertia = None
+            return False
+        self._factors = f
+        self._scale = s
+        self._vals64 = vals
+        if int(f.n_clamped) > 0:
+            # statically clamped pivots: the factorization is of A + E and
+            # pivot signs are unreliable — report no inertia (the strategy
+            # then uses the inertia-free curvature acceptance) but keep the
+            # factors: solves remain IR-certified
+            self.last_inertia = None
+        else:
+            n_neg = int(f.n_neg)
+            self.last_inertia = (self.ntot - n_neg, n_neg, 0)
+        return True
+
+    def solve(self, rx_t, rd_t, ryc, ryd):
+        import jax.numpy as jnp
+
+        n, me, mi = self.n, self.m_eq, self.m_ineq
+        rhs = jnp.concatenate(
+            [
+                jnp.asarray(rx_t, jnp.float64), jnp.asarray(rd_t, jnp.float64),
+                jnp.asarray(ryc, jnp.float64), jnp.asarray(ryd, jnp.float64),
+            ]
+        )
+        sol, cert = self._solve_refined(
+            self._factors, self._scale, self._vals64, rhs, self._ir_tol
+        )
+        if not bool(cert):
+            return None  # strategy regularizes (singularity handler)
+        return (
+            sol[:n],
+            sol[n:n + mi],
+            sol[n + mi:n + mi + me],
+            sol[n + mi + me:],
+        )

@@ -172,3 +172,11 @@ def _native_ldl_factory(A_csc, ordering: str = "auto"):
 
 
 register_solver("native_ldl", _native_ldl_factory, symmetric_only=True)
+
+# 'device_ldl' selects the DEVICE-resident level-scheduled numeric
+# refactorization (kkt/sparse_direct.DeviceSparseXDYcYdKKT + linalg/
+# sparse_device.py — the ReSolve pattern on TPU). The strategy constructs
+# that KKT class directly; this registry entry (a) makes the name
+# selectable through the option's has_solver routing and (b) provides the
+# host fallback factory for any generic caller that hands us a csc matrix.
+register_solver("device_ldl", _native_ldl_factory, symmetric_only=True)

@@ -819,7 +819,21 @@ class _SparseDirectStrategy:
         self._kkt_cls = (
             SparseXYcYdKKT if o.str_("KKTLinsys") == "xycyd" else SparseXDYcYdKKT
         )
-        self.kkt = self._kkt_cls(nlp, self._solver_name)
+        if self._solver_name == "device_ldl":
+            from hiop_tpu.kkt.sparse_direct import DeviceSparseXDYcYdKKT
+
+            if self._kkt_cls is SparseXYcYdKKT:
+                logger.printf(
+                    Verbosity.WARNING,
+                    "device_ldl supports the XDYcYd realization only; "
+                    "demoting KKTLinsys=xycyd to the host splu backend",
+                )
+                self._solver_name = "splu"
+                self.kkt = self._kkt_cls(nlp, self._solver_name)
+            else:
+                self.kkt = DeviceSparseXDYcYdKKT(nlp)
+        else:
+            self.kkt = self._kkt_cls(nlp, self._solver_name)
         self._mu = 1.0
         self._state = None
         self._chronic_delta = 0

@@ -307,8 +307,10 @@ class NlpOptions(OptionsBase):
         rs(
             "linear_solver_sparse_ordering",
             "auto",
-            ["auto", "none", "amd", "rcm"],
-            "fill-reducing ordering for host-side sparse analysis",
+            ["auto", "none", "amd", "rcm", "qd_amd"],
+            "fill-reducing ordering for sparse symbolic analysis (qd_amd: "
+            "AMD restricted to primal-before-dual elimination — exact "
+            "no-pivot inertia for quasi-definite KKT, device_ldl backend)",
         )
         # inner iterative refinement (FGMRES-style, ReSolve parity)
         ri("ir_inner_restart", 20, 1, 100, "FGMRES restart")

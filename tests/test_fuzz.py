@@ -290,6 +290,8 @@ def test_random_sparse_qp_across_kkt_variants(seed):
         {},
         {"linear_solver_sparse": "splu"},
         {"linear_solver_sparse": "native_ldl"},
+        {"linear_solver_sparse": "device_ldl"},
+        {"linear_solver_sparse": "device_ldl", "kkt_fact_dtype": "float32"},
         {"KKTLinsys": "full"},
     ]
     for extra in variants:
