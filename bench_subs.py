@@ -198,6 +198,72 @@ def qn_core(precision: str):
                 ms_per_iter=round(best * 1e3, 3))
 
 
+def mds_mp_parts(n_bus: int):
+    """Timing decomposition of the fused mixed-precision KKT at the ACOPF
+    shape: factorize, raw LDL triangular solve, f64 saddle matvec, and the
+    full IR-certified solve — each synced through a scalar fetch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from examples.acopf_mds import AcopfMds
+    from hiop_tpu import NlpMDS, NlpOptions
+    from hiop_tpu.kkt import mds as kkt_mds
+    from hiop_tpu.linalg import ldl_blocked as _ldl
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", fixed_var="relax", verbosity_level=0)
+    nlp = NlpMDS(AcopfMds(n_bus), o)
+    nlp.finalize_initialization()
+    ns, nd = nlp.n_sparse, nlp.n_dense
+    x0 = nlp.get_starting_point()
+    Jc, Jd = nlp.eval_jac(x0)
+    yc = jnp.zeros((nlp.m_eq,), x0.dtype)
+    yd = jnp.zeros((nlp.m_ineq,), x0.dtype)
+    hss, Hdd = nlp.eval_hess_blocks(x0, 1.0, yc, yd)
+    Dxs = jnp.ones((ns,), x0.dtype)
+    Dxd = jnp.ones((nd,), x0.dtype)
+    Dd = jnp.ones((nlp.m_ineq,), x0.dtype)
+    z = jnp.asarray(0.0, x0.dtype)
+
+    fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
+        hss, Hdd, Dxs, Dxd, Dd,
+        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    ))
+    f = fact()
+    float(f.d[0])
+
+    def timeit(fn, sync, reps=6):
+        out = fn()
+        float(sync(out))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            float(sync(out))
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1e3, 2)
+
+    res = dict(bench=f"mds_mp_parts{n_bus}")
+    res["fact_ms"] = timeit(fact, lambda f_: f_.d[0])
+
+    n_sad = f.M.shape[0]
+    rng = np.random.default_rng(0)
+    rhs32 = jnp.asarray(rng.standard_normal(n_sad), jnp.float32)
+    rhs64 = jnp.asarray(rng.standard_normal(n_sad))
+    lf = _ldl.LdlFactors(f.L, f.d, n_sad, jnp.asarray(0), f.ok)
+    tri = jax.jit(lambda r: _ldl.ldl_solve(lf, r))
+    res["ldl_solve_ms"] = timeit(lambda: tri(rhs32), lambda x: x[0])
+    mv = jax.jit(lambda x: f.M @ x)
+    res["f64_matvec_ms"] = timeit(lambda: mv(rhs64), lambda x: x[0])
+    full = jax.jit(
+        lambda r: kkt_mds._mp_solve_refined(f, r)
+    )
+    res["mp_solve_ms"] = timeit(lambda: full(rhs64), lambda t: t[0][0])
+    out, cert = full(rhs64)
+    res["certified"] = bool(cert)
+    return res
+
+
 def chol_race(n: int, dtype: str = "float32"):
     """XLA potrf vs Pallas blocked Cholesky at one size, fresh process
     (VERDICT r2 #4, r3 #3).  Timing methodology: each rep fetches a scalar
@@ -267,6 +333,8 @@ def main(argv):
         out = sparse_twin_obj(int(name[11:]))
     elif name.startswith("qn_core_"):
         out = qn_core(name[len("qn_core_"):])
+    elif name.startswith("mds_mp_parts"):
+        out = mds_mp_parts(int(name[len("mds_mp_parts"):]))
     elif name.startswith("chol"):
         size, dt = name[4:].split("_")
         out = chol_race(int(size), dt)

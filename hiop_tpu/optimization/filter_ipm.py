@@ -2463,7 +2463,7 @@ class FilterIPMBase:
         )
         solve = fn.build_fused_solve(nlp, consts, term, mode=self._fused_mode)
         state, mu_dev, it_num, st, err_nlp, hist = solve(
-            state, mu, tau, self.theta_min, self.theta_max
+            state, mu, tau, self.theta_min, self.theta_max, self.max_iter
         )
         st = int(jax.device_get(st))
         it_num = int(it_num)

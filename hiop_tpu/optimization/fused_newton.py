@@ -46,6 +46,13 @@ MAX_LS = 30
 #: stayed in certified f32)
 HIST_COLS = 11
 HIST_ERR = 8
+#: static cap on the fused solve's history buffer: the executable stays
+#: IDENTICAL for every max_iter (max_iter enters the termination test as a
+#: traced scalar), so changing max_iter costs no recompile — on this
+#: environment's remote-compile relay a fresh fused B=512 program is
+#: minutes. Runs past the cap keep solving; only their last-row logging
+#: collapses.
+HIST_CAP = 1024
 
 
 class FusedScalars(NamedTuple):
@@ -157,13 +164,18 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
     (max_iter+1, HIST_COLS) per-iteration table for logging (rows past
     ``iter_num`` are undefined).
     """
-    key = (mode, tuple(sorted(consts.items())), tuple(sorted(term.items())))
+    # max_iter is NOT part of the cache key (nor of the compiled program):
+    # it enters as a traced argument of the jitted solve
+    key = (
+        mode,
+        tuple(sorted(consts.items())),
+        tuple(sorted((k, v) for k, v in term.items() if k != "max_iter")),
+    )
     cached = getattr(nlp, "_fused_solve_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
 
     raw_step = _build_fused_step_uncached(nlp, consts, mode)
-    max_iter = int(term["max_iter"])
     eps_tol = term["eps_tol"]
     rel_tol = term["rel_tol"]
     accep_tol = term["accep_tol"]
@@ -174,9 +186,9 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
     tau_min = term["tau_min"]
     comp_tol_scaled = term["comp_tol_scaled"]
     diverg_tol = term.get("diverg_tol", 1e20)
-    n_hist = max_iter + 1
+    n_hist = HIST_CAP
 
-    def solve(state0, mu0, tau0, theta_min, theta_max):
+    def solve(state0, mu0, tau0, theta_min, theta_max, max_iter):
         core0 = state0[1] if getattr(nlp, "parametric", False) else state0
         dtype = core0.it.x.dtype
         filt0 = jnp.full((FILTER_CAP, 2), jnp.inf, dtype)
@@ -223,7 +235,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
             if rel_tol > 0:
                 st = claim(st, s.err_nlp <= rel_tol * err0, 2)
             st = claim(st, acc & (n_accep >= accep_iters), 3)
-            st = claim(st, it_num >= max_iter, 4)
+            st = claim(st, it_num >= jnp.asarray(max_iter, jnp.int32), 4)
             st = claim(st, s.nlp_feasib > diverg_tol, 5)
             # needs-host exits (host falls back to the general loop)
             st = claim(st, ~s.fact_ok, 6)
