@@ -69,11 +69,14 @@ class DeviceSparseLDL:
 
     def __init__(self, rows, cols, n: int, ordering: str = "amd",
                  max_ops: int = 30_000_000, max_lnz: int = 30_000_000,
-                 perm=None):
+                 perm=None, weights=None):
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
         self.n = int(n)
         n = self.n
+        if weights is not None:
+            weights = np.asarray(weights, np.float64)
+            assert weights.shape == rows.shape
 
         # ---- fill-reducing permutation -----------------------------------
         self._perm = None
@@ -105,31 +108,35 @@ class DeviceSparseLDL:
             self._perm = perm
             self._rank = rank
 
-        # ---- restrict the assembler COO to the lower triangle ------------
-        # the assemblers emit BOTH mirror triangles explicitly (Jc and
-        # Jc^T, H upper + strict-lower mirror, ...): strict-upper entries
-        # are DROPPED (their mirror carries the same value), while true
-        # duplicates at one (i, j) (e.g. H diagonal + Dx) still sum
-        keep = rows >= cols
+        # ---- collapse the assembler COO onto the lower triangle ----------
+        # orientation-aware symmetrization: an off-diagonal entry whose
+        # OPPOSITE orientation is also listed (assemblers emit Jc and Jc^T,
+        # H upper + strict-lower mirror, ...) contributes with weight 1/2 —
+        # the mirrored pair sums back to the full value — while a
+        # lone-orientation entry (e.g. the condensed path's lower-only
+        # J^T D J product triplets) contributes with weight 1.  True
+        # duplicates at one (i, j) still sum.  This stays correct under
+        # the fill-reducing permutation, which can flip an entry's triangle.
+        # weights may also be CALLER-declared (overlapping patterns — e.g.
+        # the condensed union of mirrored H and lower-only J^T D J triplets
+        # — defeat the orientation heuristic)
         self._nnz_in = rows.size
-        lr, lc = rows[keep], cols[keep]
-        mirror = rows < cols
-        # mirror of strict-upper (r, c): lower entry (row=c, col=r), and
-        # pattern keys are col * (n+1) + row
-        mkeys_up = rows[mirror] * (n + 1) + cols[mirror]
+        if weights is not None:
+            self._e_w = weights
+        else:
+            is_diag = rows == cols
+            okeys = np.unique(rows * (n + 1) + cols)
+            rev = cols * (n + 1) + rows
+            pos = np.searchsorted(okeys, rev)
+            pos = np.minimum(pos, okeys.size - 1)
+            has_mirror = (okeys[pos] == rev) & ~is_diag
+            self._e_w = np.where(has_mirror, 0.5, 1.0)
+        lr = np.maximum(rows, cols)
+        lc = np.minimum(rows, cols)
 
         # unique lower-tri pattern (CSC by column then row)
         keys = lc * (n + 1) + lr
-        uniq, inv_kept = np.unique(keys, return_inverse=True)
-        # every dropped strict-upper entry must have its mirror present
-        if mkeys_up.size:
-            pos = np.searchsorted(uniq, mkeys_up)
-            if (pos >= uniq.size).any() or not np.array_equal(uniq[pos], mkeys_up):
-                raise ValueError(
-                    "strict-upper entry without a lower-triangle mirror"
-                )
-        inv = np.zeros(rows.size, np.int64)
-        inv[keep] = inv_kept
+        uniq, inv = np.unique(keys, return_inverse=True)
         u_cols = (uniq // (n + 1)).astype(np.int64)
         u_rows = (uniq % (n + 1)).astype(np.int64)
         diag_mask = u_rows == u_cols
@@ -215,9 +222,8 @@ class DeviceSparseLDL:
         slot_to_lpos[off_mask] = order[pos_in_sorted]
         slot_is_diag = diag_mask
         slot_diag_idx = np.where(diag_mask, u_cols, 0)
-        # assembler-entry -> kind (0 offdiag, 1 diag, 2 dropped mirror) + idx
+        # assembler-entry -> kind (0 offdiag, 1 diag) + index + weight
         kind = np.where(slot_is_diag[inv], 1, 0).astype(np.int8)
-        kind[~keep] = 2
         self._e_kind = kind
         self._e_idx = np.where(
             kind == 1, slot_diag_idx[inv], np.maximum(slot_to_lpos[inv], 0)
@@ -312,13 +318,14 @@ class DeviceSparseLDL:
         lv_scale = [tuple(jnp.asarray(x) for x in t) for t in self._lv_scale]
         e_idx = jnp.asarray(self._e_idx)
         e_kind = jnp.asarray(self._e_kind)
+        e_w = jnp.asarray(self._e_w.astype(np.dtype(dtype).name))
         lnz, n = self.lnz, self.n
 
         lv_cols = [jnp.asarray(c) for c in self._lv_cols]
         sqrt_eps = float(np.sqrt(np.finfo(np.dtype(dtype).name).eps))
 
         def numeric(coo_vals):
-            v = coo_vals.astype(dtype)
+            v = coo_vals.astype(dtype) * e_w
             # static-pivot threshold (SuperLU_DIST discipline): a pivot
             # smaller than tau is replaced by sign * tau instead of failing
             # — the factorization completes as LDL^T of A + E and the IR
@@ -326,8 +333,8 @@ class DeviceSparseLDL:
             scale = jnp.maximum(jnp.max(jnp.abs(v)), 1.0)
             tau = sqrt_eps * scale
             # scatter assembler entries into L storage / diagonal
-            # accumulator; dropped mirrors and wrong-kind entries park at an
-            # out-of-bounds index (mode="drop")
+            # accumulator; wrong-kind entries park at an out-of-bounds
+            # index (mode="drop")
             Lx = jnp.zeros((lnz,), dtype).at[
                 jnp.where(e_kind == 0, e_idx, lnz)
             ].add(jnp.where(e_kind == 0, v, 0.0), mode="drop")

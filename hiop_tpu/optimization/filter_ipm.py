@@ -788,6 +788,85 @@ class _CondensedMatfreeStrategy:
         )
 
 
+class _CondensedSparseDeviceStrategy:
+    """Sparse condensed KKT with device CSR two-phase products
+    (kkt/condensed_sparse_device.py — hiopKKTLinSysCondensedSparse's CSR
+    machinery, hiopMatrixSparseCSR.hpp:116-261, with the SPD factorization
+    on the device sparse LDL playing cuSOLVER-Cholesky's role).  A
+    non-SPD factorization or an uncertified solve is a failed Cholesky:
+    bump delta_w and retry (the condensed ladder semantics)."""
+
+    MAX_REFACT = 10
+
+    def __init__(self, nlp, logger, stats):
+        from hiop_tpu.kkt.condensed_sparse_device import CondensedSparseDeviceKKT
+
+        if nlp.m_eq > 0:
+            raise ValueError("condensed KKT requires an inequality-only NLP")
+        self.nlp = nlp
+        self.log = logger
+        self.stats = stats
+        self.perturb = make_perturbation(nlp.options, for_newton=True)
+        self.kkt = CondensedSparseDeviceKKT(nlp)
+        self._mu = 1.0
+        self._state = None
+
+    def prepare(self, it: Iterate, grad_f, Jc, Jd, b: Bounds, mu) -> None:
+        with self.stats.kkt.tm_update_init:
+            jd_vals = Jd.vals if hasattr(Jd, "vals") else None
+            if jd_vals is None:
+                _, jd_vals = self.nlp.eval_jac_vals_split(it.x)
+            h_vals = self.nlp.eval_hess_vals(it.x, 1.0, it.yc, it.yd)
+            Dx, Dd = res_mod.barrier_diagonals(it, b)
+            self._state = (h_vals, Dx, Dd, jd_vals)
+        self.perturb.set_mu(float(mu))
+        self.perturb.compute_initial_deltas()
+        self._mu = float(mu)
+
+    def _try_solve(self, rx_t, rd_t, ryd):
+        h_vals, Dx, Dd, jd_vals = self._state
+        p = self.perturb
+        with self.stats.kkt.tm_update_fact:
+            ok = self.kkt.factorize(
+                h_vals, Dx, Dd, jd_vals, (p.delta_wx, p.delta_wd, p.delta_cd)
+            )
+        if not ok:
+            return None
+        with self.stats.kkt.tm_solve_inner:
+            return self.kkt.solve(rx_t, rd_t, ryd)
+
+    def compute_direction(self, resid, it: Iterate, b: Bounds):
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        n_corr = 0
+        for _ in range(self.MAX_REFACT):
+            out = self._try_solve(rx_t, rd_t, ryd)
+            if out is None:
+                n_corr += 1
+                self.stats.kkt.n_update_corrections = n_corr
+                if not self.perturb.compute_perturb_wrong_inertia():
+                    raise _StepComputationError(
+                        "sparse condensed regularization exhausted"
+                    )
+                continue
+            dx, dd, dyd = out
+            self.perturb.update_fact_ok()
+            dir_ = res_mod.recover_direction(
+                resid, it, b, dx, dd, jnp.zeros_like(ryc), dyd
+            )
+            return dir_, True
+        raise _StepComputationError("sparse condensed factorization failed")
+
+    def solve_rhs(self, resid, it: Iterate, b: Bounds) -> Iterate:
+        rx_t, rd_t, ryc, ryd = res_mod.compress_rhs_xdycyd(resid, it, b)
+        out = self._try_solve(rx_t, rd_t, ryd)
+        if out is None:
+            raise _StepComputationError("sparse condensed solve failed")
+        dx, dd, dyd = out
+        return res_mod.recover_direction(
+            resid, it, b, dx, dd, jnp.zeros_like(ryc), dyd
+        )
+
+
 class _SparseDirectStrategy:
     """Host sparse-direct XDYcYd KKT (kkt/sparse_direct.py): O(nnz)
     triplet assembly + a registry-selected sparse LU (splu/SuperLU plays
@@ -2652,6 +2731,29 @@ class FilterIPMNewton(FilterIPMBase):
             and self.nlp.matrix_free
         ):
             return _CondensedMatfreeStrategy(self.nlp, self.log, self.nlp.runstats)
+        if (
+            isinstance(self.nlp, NlpSparse)
+            and self.opts.str_("KKTLinsys") == "condensed"
+            and self.nlp.m_eq == 0
+            # replace dense materialization above the densification
+            # threshold, or on request — the reference's CSR condensed
+            # class (hiopKKTLinSysSparseCondensed.hpp:105)
+            and (
+                self.nlp.n >= 2000
+                or self.opts.str_("linear_solver_sparse") == "device_ldl"
+            )
+        ):
+            try:
+                return _CondensedSparseDeviceStrategy(
+                    self.nlp, self.log, self.nlp.runstats
+                )
+            except ValueError as e:
+                # oversize pair program etc. — fall through to dense
+                self.log.printf(
+                    Verbosity.SCALARS,
+                    "sparse condensed device path unavailable (%s); using "
+                    "the dense condensed realization", e,
+                )
         if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") == "full":
             return _SparseFullStrategy(self.nlp, self.log, self.nlp.runstats)
         if isinstance(self.nlp, NlpSparse) and self.opts.str_("KKTLinsys") in (

@@ -315,7 +315,14 @@ def test_random_sparse_ineq_qp_condensed_and_normaleqn(seed):
     o.update(Hessian="analytical_exact", verbosity_level=0)
     ref = Newton(NlpDenseConstraints(twin, o)).run()
     assert ref.status.is_success
-    for extra in ({"KKTLinsys": "condensed"}, {"KKTLinsys": "normaleqn"}):
+    for extra in (
+        {"KKTLinsys": "condensed"},
+        {"KKTLinsys": "normaleqn"},
+        # device CSR two-phase condensed (forced below the size threshold)
+        {"KKTLinsys": "condensed", "linear_solver_sparse": "device_ldl"},
+        {"KKTLinsys": "condensed", "linear_solver_sparse": "device_ldl",
+         "kkt_fact_dtype": "float32"},
+    ):
         sp_i, _ = _random_sparse_qp(seed, m_eq=0, diag_hess=True)
         oi = NlpOptions()
         oi.update(Hessian="analytical_exact", verbosity_level=0, **extra)

@@ -171,3 +171,94 @@ def test_device_ldl_scale_proof_200k():
         + ", ".join(f"{t:.2f}s" for t in times)
         + f", levels={kkt._ldl.n_levels}, lnz={kkt._ldl.lnz}"
     )
+
+
+def test_condensed_sparse_device_matches_dense_formulas():
+    """CondensedSparseDeviceKKT's symbolic+numeric (the CSR two-phase
+    machinery, hiopMatrixSparseCSR.hpp:116-261) must reproduce the dense
+    condensed realization (kkt/condensed.py) exactly."""
+    import jax.numpy as jnp
+    from hiop_tpu import NlpOptions, NlpSparse
+    from hiop_tpu.interface.base import SparseProblem, INF
+    from hiop_tpu.kkt import condensed as kkt_cond
+    from hiop_tpu.kkt.condensed_sparse_device import CondensedSparseDeviceKKT
+
+    rng = np.random.default_rng(4)
+    n, mi = 12, 7
+    Hd = sp.random(n, n, density=0.3, random_state=4)
+    Hd = (Hd @ Hd.T + sp.diags(rng.uniform(0.5, 2.0, n))).tocoo()
+    Ju = (sp.random(mi, n, density=0.4, random_state=5) + sp.eye(mi, n)).tocoo()
+
+    class P(SparseProblem):
+        def get_prob_sizes(self):
+            return n, mi
+
+        def get_vars_info(self):
+            return np.full(n, -INF), np.full(n, INF)
+
+        def get_cons_info(self):
+            return np.full(mi, -1.0), np.full(mi, 3.0)
+
+        def get_starting_point(self):
+            return np.zeros(n)
+
+        def get_sparse_blocks_info(self):
+            Hu = sp.triu(Hd).tocoo()
+            return n, Ju.nnz, Hu.nnz
+
+        def jac_structure(self):
+            return Ju.row, Ju.col
+
+        def eval_jac_vals(self, x):
+            return jnp.asarray(Ju.data)
+
+        def hess_structure(self):
+            Hu = sp.triu(Hd).tocoo()
+            return Hu.row, Hu.col
+
+        def eval_hess_vals(self, x, obj_factor, lam):
+            Hu = sp.triu(Hd).tocoo()
+            return jnp.asarray(Hu.data) * obj_factor
+
+        def eval_f(self, x):
+            return 0.5 * x @ (jnp.asarray(Hd.toarray()) @ x)
+
+        def eval_grad_f(self, x):
+            return jnp.asarray(Hd.toarray()) @ x
+
+        def eval_cons(self, x):
+            return jnp.zeros((0,)), jnp.asarray(Ju.toarray()) @ x
+
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", verbosity_level=0)
+    nlp = NlpSparse(P(), o)
+    nlp.finalize_initialization()
+    kkt = CondensedSparseDeviceKKT(nlp)
+
+    Dx = jnp.asarray(rng.uniform(0.1, 2.0, n))
+    Dd = jnp.asarray(rng.uniform(0.1, 2.0, mi))
+    h_vals = nlp.eval_hess_vals(jnp.zeros(n), 1.0, jnp.zeros(0), jnp.zeros(mi))
+    _, jd_vals = nlp.eval_jac_vals_split(jnp.zeros(n))
+    deltas = (1e-3, 1e-4, 1e-5)
+    assert kkt.factorize(h_vals, Dx, Dd, jd_vals, deltas)
+
+    rx = jnp.asarray(rng.standard_normal(n))
+    rd = jnp.asarray(rng.standard_normal(mi))
+    ryd = jnp.asarray(rng.standard_normal(mi))
+    dx, dd, dyd = kkt.solve(rx, rd, ryd)
+
+    # dense reference uses the SCALED Jacobian/Hessian too
+    Hs = np.zeros((n, n))
+    hr, hc = nlp.hess_rows, nlp.hess_cols
+    np.add.at(Hs, (hr, hc), np.asarray(h_vals))
+    off = hr != hc
+    np.add.at(Hs, (hc[off], hr[off]), np.asarray(h_vals)[off])
+    Js = np.zeros((mi, n))
+    np.add.at(Js, (nlp.jac_in_rows, nlp.jac_in_cols), np.asarray(jd_vals))
+    fd = kkt_cond.factorize(
+        jnp.asarray(Hs), Dx, Dd, jnp.asarray(Js), *deltas
+    )
+    dx_d, dd_d, dyd_d = kkt_cond.solve(fd, rx, rd, ryd, deltas[2])
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_d), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dd), np.asarray(dd_d), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dyd), np.asarray(dyd_d), rtol=1e-8, atol=1e-10)
