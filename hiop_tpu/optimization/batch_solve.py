@@ -329,7 +329,9 @@ def build_batched_solve(pnlp):
 
     def one(th):
         state0, theta_min, theta_max = init(th)
-        return solve(state0, mu0, tau0, theta_min, theta_max)
+        return solve(
+            state0, mu0, tau0, theta_min, theta_max, term["max_iter"]
+        )
 
     return jax.jit(jax.vmap(one))
 
