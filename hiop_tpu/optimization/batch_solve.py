@@ -331,7 +331,7 @@ def build_batched_solve(pnlp):
         state0, theta_min, theta_max = init(th)
         return solve(
             state0, mu0, tau0, theta_min, theta_max, term["max_iter"]
-        )
+        )[:6]
 
     return jax.jit(jax.vmap(one))
 

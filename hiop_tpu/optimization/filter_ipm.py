@@ -31,6 +31,7 @@ backtracking filter line search (with SOC) -> dual update -> re-evals }.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -2541,10 +2542,22 @@ class FilterIPMBase:
             comp_tol_scaled=self.comp_tol / self.nlp.scale_obj,
         )
         solve = fn.build_fused_solve(nlp, consts, term, mode=self._fused_mode)
-        state, mu_dev, it_num, st, err_nlp, hist = solve(
-            state, mu, tau, self.theta_min, self.theta_max, self.max_iter
-        )
-        st = int(jax.device_get(st))
+        # chain BOUNDED dispatches: this environment's TPU relay kills very
+        # long single dispatches (a ~10-minute fused while_loop crashed the
+        # worker), so the on-device loop pauses every chunk iterations and
+        # resumes from the carried state — one extra scalar sync per chunk
+        chunk = int(os.environ.get("HIOP_TPU_FUSED_CHUNK", "60"))
+        carry = None
+        it_stop = chunk
+        while True:
+            state, mu_dev, it_num, st, err_nlp, hist, carry = solve(
+                state, mu, tau, self.theta_min, self.theta_max,
+                self.max_iter, carry_in=carry, it_stop=it_stop,
+            )
+            st = int(jax.device_get(st))
+            if st != 0:
+                break
+            it_stop = int(it_num) + chunk
         it_num = int(it_num)
         hist = np.asarray(hist)
         mu = float(mu_dev)

@@ -188,16 +188,13 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
     diverg_tol = term.get("diverg_tol", 1e20)
     n_hist = HIST_CAP
 
-    def solve(state0, mu0, tau0, theta_min, theta_max, max_iter):
-        core0 = state0[1] if getattr(nlp, "parametric", False) else state0
-        dtype = core0.it.x.dtype
-        filt0 = jnp.full((FILTER_CAP, 2), jnp.inf, dtype)
-        filt0 = filt0.at[0, 1].set(-jnp.inf)
-        filt0 = filt0.at[0, 0].set(jnp.asarray(theta_max, dtype))
-        hist0 = jnp.zeros((n_hist, HIST_COLS), dtype)
+    def _solve_core(carry0, theta_min, max_iter, it_stop):
+        dtype = carry0[1].dtype
 
         def cond(carry):
-            return carry[-1] == 0
+            return (carry[-1] == 0) & (
+                carry[5] < jnp.asarray(it_stop, jnp.int32)
+            )
 
         def body(carry):
             state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, _st = carry
@@ -270,25 +267,51 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
             it_num = jnp.where(running, it_num + 1, it_num)
             return (state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, st)
 
-        carry0 = (
-            state0,
-            jnp.asarray(mu0, dtype),
-            jnp.asarray(tau0, dtype),
-            filt0,
-            jnp.asarray(1, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(0, jnp.int32),
-            hist0,
-            jnp.asarray(0, jnp.int32),
-        )
-        state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = (
-            jax.lax.while_loop(cond, body, carry0)
-        )
-        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_ERR]
-        return state, mu, it_num, st, err_nlp, hist
+        return jax.lax.while_loop(cond, body, carry0)
 
-    solve = jax.jit(solve, static_argnums=())
+    solve_core = jax.jit(_solve_core)
+
+    def solve(state0, mu0, tau0, theta_min, theta_max, max_iter,
+              carry_in=None, it_stop=None):
+        """Run the fused loop until termination or ``it_stop`` iterations.
+
+        ``carry_in`` (the previous call's full carry, 7th return value)
+        resumes a paused solve; ``it_stop`` bounds the iterations of THIS
+        dispatch — the host chains bounded dispatches because this
+        environment's TPU relay kills very long single dispatches (a
+        ~10-minute while_loop crashed the worker).  The initial carry is
+        built eagerly OUTSIDE the jitted core so the resume path reuses
+        the same compiled executable.  st == 0 on return means 'not
+        terminated — call again with carry_in'."""
+        if carry_in is not None:
+            carry0 = carry_in
+            dtype = carry0[1].dtype
+        else:
+            core0 = state0[1] if getattr(nlp, "parametric", False) else state0
+            dtype = core0.it.x.dtype
+            filt0 = jnp.full((FILTER_CAP, 2), jnp.inf, dtype)
+            filt0 = filt0.at[0, 1].set(-jnp.inf)
+            filt0 = filt0.at[0, 0].set(jnp.asarray(theta_max, dtype))
+            hist0 = jnp.zeros((n_hist, HIST_COLS), dtype)
+            carry0 = (
+                state0,
+                jnp.asarray(mu0, dtype),
+                jnp.asarray(tau0, dtype),
+                filt0,
+                jnp.asarray(1, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(0, jnp.int32),
+                hist0,
+                jnp.asarray(0, jnp.int32),
+            )
+        if it_stop is None:
+            it_stop = np.iinfo(np.int32).max
+        final = solve_core(carry0, theta_min, max_iter, it_stop)
+        state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = final
+        err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_ERR]
+        return state, mu, it_num, st, err_nlp, hist, final
+
     nlp._fused_solve_cache = (key, solve)
     return solve
 

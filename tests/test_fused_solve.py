@@ -143,3 +143,15 @@ def test_fused_solve_warm_start():
     assert r_f.status.is_success and r_g.status.is_success
     assert r_f.iterations <= 6
     assert abs(r_f.obj - r_g.obj) < 1e-8
+
+
+def test_chunked_fused_solve_matches_single_dispatch(monkeypatch):
+    """The host-chained bounded-dispatch mode (HIOP_TPU_FUSED_CHUNK) must
+    reproduce the single-dispatch solve exactly — same iterations, same
+    objective — since each chunk resumes from the carried device state."""
+    r_one = _solve(FilterIPMNewton, "analytical_exact", "solve")
+    monkeypatch.setenv("HIOP_TPU_FUSED_CHUNK", "2")
+    r_chunk = _solve(FilterIPMNewton, "analytical_exact", "solve")
+    assert r_chunk.status == r_one.status
+    assert r_chunk.iterations == r_one.iterations
+    assert abs(r_chunk.obj - r_one.obj) < 1e-12
