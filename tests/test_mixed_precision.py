@@ -241,3 +241,35 @@ def test_deescalation_reenters_f32():
     fi._maybe_deescalate_safe(s2)
     assert s2._deesc_clean == 0
     assert s2._safe_mode == 1
+
+
+def test_saddle_mp_uncertified_when_factors_are_useless():
+    """The IR certification must report failure when the f32 factors carry
+    no information (the IR cannot reduce the backward error) — the fused
+    program's lax.cond then refactorizes in f64 (fused_newton need64
+    branch) instead of using the bad direction.  (Note: ill-conditioned
+    but genuinely factorized systems certify in the BACKWARD-error sense,
+    which is the criterion — this test corrupts the factors outright.)"""
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    rng = np.random.default_rng(3)
+    ns, nd, mc, md = 12, 5, 4, 6
+    hss = jnp.asarray(rng.uniform(0.5, 3.0, ns))
+    A = rng.standard_normal((nd, nd))
+    Hdd = jnp.asarray(A @ A.T + nd * np.eye(nd))
+    Jc = jnp.asarray(rng.standard_normal((mc, ns + nd)))
+    Jd = jnp.asarray(rng.standard_normal((md, ns + nd)))
+    z = jnp.asarray(0.0)
+    f = kkt_mds.factorize_saddle_device_mp(
+        hss, Hdd, jnp.zeros(ns), jnp.zeros(nd),
+        jnp.asarray(rng.uniform(0.5, 2.0, md)),
+        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    )
+    # useless 'factorization': identity L, unit pivots — the approximate
+    # solve is just the (scaled) rhs, so IR stagnates at O(1) backward error
+    f_bad = f._replace(L=jnp.zeros_like(f.L), d=jnp.ones_like(f.d))
+    rhs = [jnp.asarray(rng.standard_normal(k)) for k in (ns, nd, md, mc, md)]
+    out = kkt_mds.solve_saddle_device_mp(f_bad, *rhs)
+    assert not bool(out[5]), "IR certified a solve from information-free factors"
+    good = kkt_mds.solve_saddle_device_mp(f, *rhs)
+    assert bool(good[5])
