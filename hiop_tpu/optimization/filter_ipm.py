@@ -2567,7 +2567,7 @@ class FilterIPMBase:
         for i in range(min(it_num + 1, hist.shape[0])):
             self.iter_num = i
             (f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i,
-             _err_i, soc_i, _f32_i) = hist[i]
+             _err_i, soc_i, _f32_i, _dw_i) = hist[i]
             self._output_iteration(
                 f_i, feas_i, opt_i, mu_i, adu_i, apr_i,
                 int(lsn_i), int(lss_i) if i else -1, use_soc=int(soc_i),
@@ -2638,8 +2638,12 @@ class FilterIPMBase:
         self.iter_num = 0
         printed_header = False
 
+        dw_last = 0.0
         while True:
-            new_state, s = step(state, mu, tau, jnp.asarray(filt), filt_len, self.theta_min)
+            new_state, s, dw_next = step(
+                state, mu, tau, jnp.asarray(filt), filt_len, self.theta_min,
+                dw_last,
+            )
             sh = jax.device_get(s)
             err_nlp = float(sh.err_nlp)
             err_log = float(sh.err_log)
@@ -2688,6 +2692,7 @@ class FilterIPMBase:
                 filt_len += 1
 
             state = new_state
+            dw_last = dw_next
             self.iter_num += 1
             stats.n_iters = self.iter_num
             if consts.get("fused_mp"):

@@ -43,8 +43,8 @@ MAX_LS = 30
 #: columns of the per-iteration history buffer returned by the fused solve
 #: (jit_mode=solve): f, nlp_feasib, nlp_optim, mu, alpha_du, alpha_pr,
 #: ls_count, ls_status, err_nlp, use_soc, mp_f32 (iteration's factorization
-#: stayed in certified f32)
-HIST_COLS = 11
+#: stayed in certified f32), delta_w (accepted primal regularization)
+HIST_COLS = 12
 HIST_ERR = 8
 #: static cap on the fused solve's history buffer: the executable stays
 #: IDENTICAL for every max_iter (max_iter enters the termination test as a
@@ -75,6 +75,7 @@ class FusedScalars(NamedTuple):
     theta_add: jax.Array
     phi_add: jax.Array
     mp_f32: jax.Array        # bool: factorization used certified f32 (mp)
+    delta_w: jax.Array       # accepted primal regularization this iteration
 
 
 class _FusedLdlFactors(NamedTuple):
@@ -197,8 +198,11 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
             )
 
         def body(carry):
-            state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, _st = carry
-            new_state, s = raw_step(state, mu, tau, filt, filt_len, theta_min)
+            (state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist,
+             dw_last, _st) = carry
+            new_state, s, dw_next = raw_step(
+                state, mu, tau, filt, filt_len, theta_min, dw_last
+            )
             row = jnp.stack(
                 [
                     s.f.astype(dtype),
@@ -212,6 +216,7 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
                     s.err_nlp.astype(dtype),
                     s.use_soc.astype(dtype),
                     s.mp_f32.astype(dtype),
+                    s.delta_w.astype(dtype),
                 ]
             )
             zero = jnp.asarray(0, jnp.int32)
@@ -264,8 +269,10 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
             state = jax.tree.map(
                 lambda new, old: jnp.where(running, new, old), new_state, state
             )
+            dw_last = jnp.where(running, dw_next, dw_last)
             it_num = jnp.where(running, it_num + 1, it_num)
-            return (state, mu, tau, filt, filt_len, it_num, err0, n_accep, hist, st)
+            return (state, mu, tau, filt, filt_len, it_num, err0, n_accep,
+                    hist, dw_last, st)
 
         return jax.lax.while_loop(cond, body, carry0)
 
@@ -303,12 +310,14 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
                 jnp.asarray(jnp.inf, dtype),
                 jnp.asarray(0, jnp.int32),
                 hist0,
+                jnp.asarray(0.0, dtype),
                 jnp.asarray(0, jnp.int32),
             )
         if it_stop is None:
             it_stop = np.iinfo(np.int32).max
         final = solve_core(carry0, theta_min, max_iter, it_stop)
-        state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist, st = final
+        (state, mu, _tau, _filt, _flen, it_num, _err0, _nacc, hist,
+         _dw, st) = final
         err_nlp = hist[jnp.minimum(it_num, n_hist - 1), HIST_ERR]
         return state, mu, it_num, st, err_nlp, hist, final
 
@@ -381,7 +390,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         sigma0 = consts.get("sigma0", 1.0)
         recalc_lsq_tol = consts.get("recalc_lsq_duals_tol", 1e-6)
 
-    def step(state, mu, tau, filt, filt_len, theta_min):
+    def step(state, mu, tau, filt, filt_len, theta_min, dw_last):
         th = None
         if parametric:
             th, state = state
@@ -434,17 +443,39 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         # inertia-revealing tier (_maybe_escalate_chronic, filter_ipm.py) —
         # for such problems use the default jit_mode=kernels.
         delta0 = consts.get("delta_0_bar", 1e-4)
-        kappa_plus = consts.get("kappa_w_plus_bar", 100.0)
+        kappa_plus_bar = consts.get("kappa_w_plus_bar", 100.0)
+        kappa_plus = consts.get("kappa_w_plus", 8.0)
+        kappa_minus = consts.get("kappa_w_minus", 1.0 / 3.0)
+        delta_w_min = consts.get("delta_w_min_bar", 1e-20)
         delta_c_bar = consts.get("delta_c_bar", 1e-8)
         kappa_c = consts.get("kappa_c", 0.25)
-        MAX_REG = 6
+        MAX_REG = 10
 
-        def fact_with_reg(fact_fn, dtype):
-            """Run the on-device regularization ladder; returns
-            (factors, final_delta_w, final_delta_c) — the deltas feed the
-            mixed-precision path's f64 refactorization on IR failure."""
+        def fact_with_reg(fact_fn, dtype, dw_last):
+            """On-device regularization ladder with the reference's FULL
+            hiopPDPerturbation curve (hiopPDPerturbation.cpp): try delta=0;
+            on wrong inertia start from delta_0_bar the first time EVER,
+            afterwards from kappa_w_minus * last-successful delta (the
+            cross-iteration memory that keeps delta near the minimal
+            needed), growing by kappa_w_plus (x8) — or kappa_w_plus_bar
+            (x100) only before any success.  Without the memory the ladder
+            restarted at 1e-4 and jumped x100 every iteration, accepting a
+            delta up to 100x too large: measured as a ~1%-per-iteration
+            damped-step crawl on the B=512 ACOPF at full step sizes.
+            Returns (factors, final_delta_w, final_delta_c, new_dw_last)."""
             fct0 = fact_fn(jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
             dc = jnp.asarray(delta_c_bar, dtype) * mu**kappa_c
+            dw_last = jnp.asarray(dw_last, dtype)
+            start = jnp.where(
+                dw_last == 0,
+                jnp.asarray(delta0, dtype),
+                jnp.maximum(jnp.asarray(delta_w_min, dtype), dw_last * kappa_minus),
+            )
+            grow = jnp.where(
+                dw_last == 0,
+                jnp.asarray(kappa_plus_bar, dtype),
+                jnp.asarray(kappa_plus, dtype),
+            )
 
             def reg_cond(carry):
                 k, _dw, fct = carry
@@ -452,16 +483,16 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
 
             def reg_body(carry):
                 k, dw, _fct = carry
-                dw_new = jnp.where(
-                    k == 0, jnp.asarray(delta0, dtype), dw * kappa_plus
-                )
+                dw_new = jnp.where(k == 0, start, dw * grow)
                 return (k + 1, dw_new, fact_fn(dw_new, dc))
 
             k_fin, dw_fin, fct = jax.lax.while_loop(
                 reg_cond, reg_body, (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dtype), fct0)
             )
             dc_fin = jnp.where(k_fin > 0, dc, jnp.asarray(0.0, dtype))
-            return fct, dw_fin, dc_fin
+            # update_fact_ok: remember the accepted positive delta
+            dw_next = jnp.where(fct.ok & (dw_fin > 0), dw_fin, dw_last)
+            return fct, dw_fin, dc_fin, dw_next
 
         # linear_solver_dense=ldl_nopiv selects the inertia-revealing
         # on-device factorization INSIDE the fused program: blocked no-pivot
@@ -484,6 +515,8 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         fused_mp = bool(consts.get("fused_mp", False)) and use_ldl
         ir_tol = consts.get("fused_ir_tol", 1e-9)
         mp_f32 = jnp.asarray(False)
+        dw_next = jnp.asarray(dw_last, it.x.dtype)
+        delta_w_used = jnp.asarray(0.0, it.x.dtype)
 
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         if is_qn:
@@ -503,14 +536,15 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             else:
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
             if use_ldl and fused_mp:
-                fct32, dw_fin, dc_fin = fact_with_reg(
+                fct32, dw_fin, dc_fin, dw_next = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize_saddle_device_mp(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
                         dw, dw, dc, dc,
                     ),
-                    it.x.dtype,
+                    it.x.dtype, dw_last,
                 )
+                delta_w_used = dw_fin
                 # certification probe on the iteration's primary rhs: if the
                 # f32 factors + f64 IR cannot deliver the direction to
                 # ir_tol, refactorize in f64 at the ladder's final deltas
@@ -555,14 +589,15 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     dxs, dxd, dd, dyc, dyd = jax.lax.cond(need64, s64, s32, 0)
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
             elif use_ldl:
-                fct, _dw, _dc = fact_with_reg(
+                fct, dw_fin, _dc, dw_next = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize_saddle_device(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
                         dw, dw, dc, dc,
                     ),
-                    it.x.dtype,
+                    it.x.dtype, dw_last,
                 )
+                delta_w_used = dw_fin
 
                 def solve_compressed(rx_t, rd_t, ryc, ryd):
                     dxs, dxd, dd, dyc, dyd = kkt_mds.solve_saddle_device(
@@ -570,14 +605,15 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     )
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
             else:
-                fct, _dw, _dc = fact_with_reg(
+                fct, dw_fin, _dc, dw_next = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
                         dw, dw, dc, dc,
                     ),
-                    it.x.dtype,
+                    it.x.dtype, dw_last,
                 )
+                delta_w_used = dw_fin
 
                 def solve_compressed(rx_t, rd_t, ryc, ryd):
                     dxs, dxd, dd, dyc, dyd = kkt_mds.solve(
@@ -591,12 +627,13 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             from hiop_tpu.kkt import newton_dense as kkt_nd
 
             H = hess(it.x, it.yc, it.yd, th)
-            fct, _dw, _dc = fact_with_reg(
+            fct, dw_fin, _dc, dw_next = fact_with_reg(
                 lambda dw, dc: kkt_nd.factorize_quick(
                     H, Dx, Dd, Jc, Jd, dw, dw, dc, dc
                 ),
-                it.x.dtype,
+                it.x.dtype, dw_last,
             )
+            delta_w_used = dw_fin
 
             def solve_compressed(rx_t, rd_t, ryc, ryd):
                 return kkt_nd.solve_quick(fct, rx_t, rd_t, ryc, ryd)
@@ -828,9 +865,10 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             fact_ok=fct_ok, filter_add=filter_add,
             theta_add=theta_t, phi_add=phi_t,
             mp_f32=mp_f32,
+            delta_w=delta_w_used,
         )
         if parametric:
-            return (th, state_new), scal
-        return state_new, scal
+            return (th, state_new), scal, dw_next
+        return state_new, scal, dw_next
 
     return jax.jit(step)
