@@ -2575,6 +2575,9 @@ class FilterIPMBase:
         self._err_nlp0 = float(hist[0, fn.HIST_ERR])
         self.iter_num = it_num
         stats.n_iters = it_num
+        #: full per-iteration history (HIST_COLS incl. delta_w, mp_f32) —
+        #: kept for diagnosis; rows past min(it_num, HIST_CAP) are undefined
+        self._last_fused_hist = hist
         # per-iteration f32-vs-f64 factorization accounting from the history
         # buffer (runstats f32-fraction parity with the host loop's
         # kkt.n_fact_* counters; hist rows past it_num are undefined)
