@@ -295,13 +295,17 @@ class MdsSaddleDeviceMpFactors(NamedTuple):
 
 def factorize_saddle_device_mp(
     hss, Hdd, Dxs, Dxd, Dd, Jc_s, Jc_d, Jd_s, Jd_d,
-    delta_wx, delta_wd, delta_cc, delta_cd,
+    delta_wx, delta_wd, delta_cc, delta_cd, count_inertia: bool = True,
 ):
     """Traceable mixed-precision analogue of :func:`factorize_saddle_device`:
     assemble the saddle in f64, equilibrate, factorize in f32. Inertia
     acceptance (pivot signs + Haynsworth count of the eliminated diagonal)
     is folded into ``ok`` exactly as in the f64 variant — the equilibration
-    D M D is a congruence, so the f32 pivot signs count the same inertia."""
+    D M D is a congruence, so the f32 pivot signs count the same inertia.
+    ``count_inertia=False`` drops the count from ``ok`` (finite
+    factorization only) for the inertia-free curvature acceptance
+    (hiopFactAcceptorInertiaFreeDWD), where the caller tests the computed
+    direction instead."""
     from hiop_tpu.linalg import ldl_blocked as _ldl
 
     mc, md = Jc_s.shape[0], Jd_s.shape[0]
@@ -333,7 +337,9 @@ def factorize_saddle_device_mp(
     s = jnp.where(rmax > 0, 1.0 / jnp.sqrt(jnp.maximum(rmax, 1e-300)), 1.0)
     Ms = (s[:, None] * M * s[None, :]).astype(jnp.float32)
     f = _ldl.ldl_factor(Ms)
-    ok = f.ok & ks_ok & (f.n_neg + n_neg_ks == mc + md)
+    ok = f.ok & ks_ok
+    if count_inertia:
+        ok = ok & (f.n_neg + n_neg_ks == mc + md)
     return MdsSaddleDeviceMpFactors(
         f.L, f.d, s, M, ks_inv, Js, Jdn, dd_tot, ok
     )

@@ -2493,6 +2493,11 @@ class FilterIPMBase:
             # ReSolve pattern (RefactorizationSolver.hpp:74) fully on device
             fused_mp=o.str_("kkt_fact_dtype") == "float32",
             fused_ir_tol=min(o.num("ir_inner_tol_min"), 1e-9),
+            # inertia-free curvature acceptance inside the fused mp ladder
+            # (hiopFactAcceptorInertiaFreeDWD); accepts far smaller deltas
+            # than exact pivot counting on degenerate problems
+            fused_inertia_free=o.str_("fact_acceptor") == "inertia_free",
+            neg_curv_fact=o.num("neg_curv_test_fact"),
         )
         if self._fused_mode == "qn":
             from hiop_tpu.optimization import hessian_lowrank as blr

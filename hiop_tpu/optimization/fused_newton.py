@@ -535,7 +535,85 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd, th)
             else:
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
-            if use_ldl and fused_mp:
+            if use_ldl and fused_mp and consts.get("fused_inertia_free"):
+                # inertia-free curvature acceptance
+                # (hiopFactAcceptorInertiaFreeDWD + compute_search_direction
+                # _inertia_free, hiopAlgFilterIPM.cpp:3374) fully on device:
+                # factorize WITHOUT the pivot-count test, solve the primary
+                # rhs, and accept when the regularized curvature along the
+                # computed direction is positive — on degenerate problems
+                # this accepts far smaller deltas than exact inertia
+                # counting (the reference's recommendation for such
+                # systems), and f32 pivot-sign flips cannot reject a good
+                # factorization.
+                neg_curv_fact = consts.get("neg_curv_fact", 1e-11)
+                rx0, rd0, ryc0, ryd0 = res_mod.compress_rhs_xdycyd(resid, it, b)
+                dt = it.x.dtype
+                dc = jnp.asarray(delta_c_bar, dt) * mu**kappa_c
+                dw_l = jnp.asarray(dw_last, dt)
+                start = jnp.where(
+                    dw_l == 0,
+                    jnp.asarray(delta0, dt),
+                    jnp.maximum(jnp.asarray(delta_w_min, dt), dw_l * kappa_minus),
+                )
+                grow = jnp.where(
+                    dw_l == 0,
+                    jnp.asarray(kappa_plus_bar, dt),
+                    jnp.asarray(kappa_plus, dt),
+                )
+
+                def fact_solve_test(dw):
+                    fct = kkt_mds.factorize_saddle_device_mp(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                        dw, dw, dc, dc, count_inertia=False,
+                    )
+                    sol = kkt_mds.solve_saddle_device_mp(
+                        fct, rx0[:ns], rx0[ns:], rd0, ryc0, ryd0, ir_tol
+                    )
+                    dxs, dxd, dd_, _dyc, _dyd, cert = sol
+                    curv = (
+                        jnp.sum((hss + Dx[:ns] + dw) * dxs * dxs)
+                        + dxd @ (Hdd @ dxd) + jnp.sum((Dx[ns:] + dw) * dxd * dxd)
+                        + jnp.sum((Dd + dw) * dd_ * dd_)
+                    )
+                    nrm2 = dxs @ dxs + dxd @ dxd + dd_ @ dd_
+                    good = fct.ok & cert & (curv >= neg_curv_fact * nrm2)
+                    return fct, sol, good
+
+                fct0_, sol0_, good0_ = fact_solve_test(jnp.asarray(0.0, dt))
+
+                def if_cond(carry):
+                    k, _dw, _f, _s, good = carry
+                    return (~good) & (k < MAX_REG)
+
+                def if_body(carry):
+                    k, dw, _f, _s, _g = carry
+                    dw_new = jnp.where(k == 0, start, dw * grow)
+                    f_, s_, g_ = fact_solve_test(dw_new)
+                    return (k + 1, dw_new, f_, s_, g_)
+
+                _k, dw_fin, fct32, sol_fin, good_fin = jax.lax.while_loop(
+                    if_cond, if_body,
+                    (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt),
+                     fct0_, sol0_, good0_),
+                )
+                dc_fin = dc
+                delta_w_used = dw_fin
+                dw_next = jnp.where(good_fin & (dw_fin > 0), dw_fin, dw_l)
+                cert = good_fin
+                need64 = jnp.asarray(False)
+                mp_f32 = good_fin
+                # downstream shared code reads fct32.ok as the acceptance
+                fct32 = fct32._replace(ok=good_fin)
+                fct_ok = good_fin
+
+                def solve_compressed(rx_t, rd_t, ryc, ryd):
+                    dxs, dxd, dd_, dyc, dyd = kkt_mds.solve_saddle_device_mp(
+                        fct32, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol
+                    )[:5]
+                    return jnp.concatenate([dxs, dxd]), dd_, dyc, dyd
+            elif use_ldl and fused_mp:
                 fct32, dw_fin, dc_fin, dw_next = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize_saddle_device_mp(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,

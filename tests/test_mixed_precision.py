@@ -273,3 +273,21 @@ def test_saddle_mp_uncertified_when_factors_are_useless():
     assert not bool(out[5]), "IR certified a solve from information-free factors"
     good = kkt_mds.solve_saddle_device_mp(f, *rhs)
     assert bool(good[5])
+
+
+def test_fused_inertia_free_acceptance_converges():
+    """fact_acceptor=inertia_free inside the fused mp program
+    (hiopFactAcceptorInertiaFreeDWD on device): the curvature-test ladder
+    must converge to the same objective as the inertia-exact acceptance.
+    Non-default: on this driver the exact-inertia acceptor converges in
+    fewer iterations; the curvature acceptor exists for degenerate
+    problems where pivot counting over-regularizes."""
+    r_if, nlp_if = _solve_acopf(
+        mp_schedule="adaptive", jit_mode="solve",
+        linear_solver_dense="ldl_nopiv", fact_acceptor="inertia_free",
+    )
+    ref, tol = SELFCHECK[32]
+    assert r_if.status.is_success
+    assert abs(r_if.obj - ref) <= tol * max(1.0, abs(ref))
+    k = nlp_if.runstats.kkt
+    assert k.n_fact_total > 0 and k.n_fact_f32 > 0
