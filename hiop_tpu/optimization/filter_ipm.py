@@ -1709,6 +1709,14 @@ class FilterIPMBase:
         except _StepComputationError as e:
             self.log.printf(Verbosity.ERROR, "Unrecoverable error in step computation: %s", str(e))
             self.solver_status = SolveStatus.Err_Step_Computation
+            last = getattr(self, "_last_good", None)
+            if last is not None:
+                it_l, f_l, err_l, mu_l = last
+                return SolverResult(
+                    self.solver_status, np.asarray(it_l.x),
+                    nlp.unscaled_obj(f_l), self.iter_num,
+                    err_nlp=err_l, mu=mu_l,
+                )
             return SolverResult(self.solver_status, np.zeros(nlp.n), float("nan"), self.iter_num)
         finally:
             stats.tm_optimize_total.stop()
@@ -1818,6 +1826,11 @@ class FilterIPMBase:
             # make checkpointing callable from inside the user callback
             # (the reference's Ex1 saves sidre state from iterate_callback)
             self._ckpt_ref = (it_curr, mu, strategy)
+            # best-effort return point: an unrecoverable later failure
+            # returns this iterate (the reference reports the last iterate
+            # on Err_Step_Computation rather than zeros/NaN)
+            if np.isfinite(f):
+                self._last_good = (it_curr, float(f), err_nlp, mu)
             info = IterateCallbackInfo(
                 iter=self.iter_num, obj_value=nlp.unscaled_obj(f),
                 logbar_obj_value=self._logbar_f(it_curr, f, b, mu),

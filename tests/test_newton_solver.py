@@ -139,3 +139,39 @@ def test_sparse_ex4_concave_selfcheck():
     assert r.status.is_success
     ref, tol = sx4.SELFCHECK[2]
     assert abs((r.obj - ref) / (1 + abs(ref))) < tol
+
+
+def test_step_error_returns_best_effort_iterate(monkeypatch):
+    """An unrecoverable step-computation failure must return the LAST
+    finite iterate (the reference reports the last iterate on
+    Err_Step_Computation), not zeros/NaN."""
+    import numpy as np
+    import hiop_tpu.optimization.filter_ipm as fi
+    from hiop_tpu import (
+        AutoDiffNlpProblem, FilterIPMNewton, NlpDenseConstraints, NlpOptions,
+    )
+    import jax.numpy as jnp
+
+    calls = {"n": 0}
+    orig = fi._NewtonDenseStrategy.compute_direction
+
+    def failing(self, resid, it, b):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise fi._StepComputationError("synthetic failure")
+        return orig(self, resid, it, b)
+
+    monkeypatch.setattr(fi._NewtonDenseStrategy, "compute_direction", failing)
+    p = AutoDiffNlpProblem(
+        f=lambda x: jnp.sum((x - 1.0) ** 2),
+        c=lambda x: jnp.sum(x)[None],
+        xl=np.zeros(5), xu=np.full(5, 10.0),
+        cl=np.array([2.0]), cu=np.array([2.0]),
+        x0=np.full(5, 0.3),
+    )
+    o = NlpOptions()
+    o.update(Hessian="analytical_exact", verbosity_level=0, jit_mode="none")
+    r = FilterIPMNewton(NlpDenseConstraints(p, o)).run()
+    assert r.status.name == "Err_Step_Computation"
+    assert np.all(np.isfinite(r.x))
+    assert np.isfinite(r.obj)
