@@ -117,8 +117,10 @@ class FusedQNState(NamedTuple):
 
 
 def build_fused_step(nlp, consts, mode: str = "newton"):
-    """Returns a jitted step(state, mu, tau, filt, filt_len, theta_min) ->
-    (new_state, FusedScalars). `nlp` must have jittable evaluations.
+    """Returns a jitted step(state, mu, tau, filt, filt_len, theta_min,
+    dw_last) -> (new_state, FusedScalars, dw_next), where dw_last/dw_next
+    carry the regularization ladder's last-successful delta across
+    iterations. `nlp` must have jittable evaluations.
     mode='newton' uses the exact-Hessian quick path; mode='qn' carries the
     compact-BFGS memory in the state (FusedQNState) with the low-rank Schur
     direction and the LSQ dual update — and because every op in the program
@@ -156,8 +158,9 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
     eps_tol, rel_tol, accep_tol, accep_iters, max_iter, kappa_eps,
     kappa_mu, theta_mu, tau_min, comp_tol_scaled, diverg_tol.
 
-    Returns ``solve(state0, mu0, tau0, theta_min, theta_max)`` ->
-    ``(state, mu, iter_num, status_code, err_nlp, hist)`` where
+    Returns ``solve(state0, mu0, tau0, theta_min, theta_max, max_iter,
+    carry_in=None, it_stop=None)`` ->
+    ``(state, mu, iter_num, status_code, err_nlp, hist, carry)`` where
     ``status_code`` is 1 Solve_Success, 2 Solve_Success_RelTol,
     3 Solve_Acceptable_Level, 4 Max_Iter_Exceeded, 5 Iterates_Diverging,
     6/7 needs-host (failed factorization / rejected line search — the
