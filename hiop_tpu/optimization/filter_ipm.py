@@ -2393,6 +2393,8 @@ class FilterIPMBase:
             and o.str_("time_kkt") == "off"
         )
         if fusable:
+            fusable = self._fused_fits_memory()
+        if fusable:
             try:
                 if jit_mode == "solve" and not self._iterate_callback_overridden():
                     return self._run_fused_solve()
@@ -2409,6 +2411,33 @@ class FilterIPMBase:
                 self._err_nlp0 = None
                 self.iter_num = 0
         return self._run_general()
+
+    def _fused_fits_memory(self) -> bool:
+        """The fused MDS mixed-precision program keeps the f64 saddle (for
+        IR), the f32 factor, the f64 fallback factor, and the dense Js
+        border resident at once; at B=2048 ACOPF that is 34.8G vs a 15.75G
+        chip (measured compile OOM).  Estimate the footprint and route
+        oversize problems to the general host-loop tiers (which stay
+        sparse/host-resident) instead of crashing in the compiler.
+        Override with HIOP_TPU_FUSED_MEM_BUDGET (bytes)."""
+        from hiop_tpu.formulation.mds import NlpMDS
+
+        nlp = self.nlp
+        if not isinstance(nlp, NlpMDS):
+            return True
+        n_sad = nlp.n_dense + nlp.m_eq + nlp.m_ineq
+        m = nlp.m_eq + nlp.m_ineq
+        est = n_sad * n_sad * 20 + 2 * m * nlp.n_sparse * 8
+        budget = float(os.environ.get("HIOP_TPU_FUSED_MEM_BUDGET", 12e9))
+        if est > budget:
+            self.log.printf(
+                Verbosity.SUMMARY,
+                "fused KKT footprint ~%.1f GB exceeds the %.1f GB budget; "
+                "using the general loop's host tiers",
+                est / 1e9, budget / 1e9,
+            )
+            return False
+        return True
 
     def _iterate_callback_overridden(self) -> bool:
         """jit_mode=solve runs the whole solve in one XLA program, so a
