@@ -13,12 +13,19 @@ Design (static shapes, single XLA program):
 
 - the matrix is padded to a multiple of the 128 MXU tile with an identity
   block (extra pivots are +1 and excluded from the inertia count);
-- a ``fori_loop`` walks 128-wide block columns right-looking: the diagonal
-  block is factorized by an in-register no-pivot Crout loop, its unit-lower
-  inverse is built by forward substitution, and the trailing panel update is
-  one (n,128)x(128,128) matmul — all FLOPs land on the MXU;
-- prior columns enter through masked full-width matmuls (a column mask
-  replaces dynamic-extent slicing, which XLA cannot tile well).
+- the XLA lane walks 128-wide block columns right-looking in an UNROLLED
+  Python loop over panels, carrying an explicitly shrinking trailing
+  submatrix: every step factorizes the 128x128 diagonal block with a fused
+  Crout+inverse register loop, forms the scaled panel with one
+  (r,128)x(128,128) matmul, and applies one (r,128)x(128,r) rank-128
+  trailing update — static shapes per step (the loop is unrolled at trace
+  time), executed FLOPs = n^3/3 + O(n^2), all on the MXU. This replaced a
+  ``fori_loop`` over masked full-width updates that executed ~3x the FLOPs
+  with no shrinking frontier (measured 163 ms at 4710^2 f32 vs 36.8 ms for
+  XLA's own potrf at 4608^2);
+- the Pallas lane (whole-matrix VMEM, <=2048^2) keeps the masked
+  full-width formulation because Mosaic cannot slice values at traced
+  offsets.
 
 Solve = unit-lower triangular solve, diagonal scale, unit-upper solve.
 """
@@ -80,6 +87,42 @@ def _ldl_diag_block(S):
     return L, d
 
 
+def _ldl_diag_block_inv(S):
+    """Fused no-pivot LDL^T + unit-lower inverse of a (B, B) block.
+
+    Returns (L, d, Linv) in ONE register loop: at Crout step j column j of
+    L is final, so the inverse accumulates as X := X - l_j (e_j^T X)
+    (X = E_{B-1}^{-1} ... E_0^{-1} = L^{-1} with E_j = I + l_j e_j^T) —
+    halving the sequential depth vs a separate forward-substitution loop.
+    Masked full-block ops for the same Mosaic/XLA-fusion reasons as
+    :func:`_ldl_diag_block`."""
+    B = S.shape[0]
+    dt = S.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
+
+    def body(j, carry):
+        S, L, d, X = carry
+        dj = jnp.sum(jnp.where((rows == j) & (cols == j), S, 0.0))
+        inv = jnp.where(jnp.abs(dj) > 0, 1.0 / jnp.where(dj == 0, 1.0, dj), 0.0)
+        col = jnp.sum(jnp.where(cols == j, S, 0.0), axis=1)
+        lcol = jnp.where(row_ids > j, col * inv, 0.0)
+        ecol = (row_ids == j).astype(dt)
+        L = jnp.where(cols == j, (lcol + ecol)[:, None], L)
+        S = S - dj * (lcol[:, None] * lcol[None, :])
+        d = jnp.where(row_ids == j, dj, d)
+        xrow = jnp.sum(jnp.where(rows == j, X, 0.0), axis=0)
+        X = X - lcol[:, None] * xrow[None, :]
+        return S, L, d, X
+
+    L = jnp.zeros((B, B), dt)
+    d = jnp.zeros((B,), dt)
+    X = jnp.eye(B, dtype=dt)
+    _, L, d, X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), body, (S, L, d, X))
+    return L, d, X
+
+
 def _unit_lower_inverse(L):
     """Inverse of a (B, B) unit-lower matrix by forward substitution.
     Masked full-block ops for the same Mosaic reason as above."""
@@ -133,28 +176,39 @@ def _ldl_panel_math(Akk, Acol, LD, Lk, LDk):
     return Lkk, dk, P
 
 
-def _block_col_update(A, L, d, k, col_ids_full, row_ids_colblk):
-    """One right-looking block-column step of the XLA path: returns
-    (colblock, dk) for column block k, given the already-factorized
-    columns masked into L (scaled by d)."""
+def _ldl_xla_unrolled(A):
+    """Right-looking blocked LDL^T with a SHRINKING trailing frontier,
+    unrolled over 128-wide panels at trace time (static shapes per step).
+    Executed FLOPs = sum_k r_k^2 * 128 ~= n^3/3 — the roofline-correct
+    count, vs ~n^3 for the old masked full-width fori_loop formulation.
+    Returns (L, d) of the padded matrix."""
     n_p = A.shape[0]
     B = _BLOCK
+    nb = n_p // B
     dt = A.dtype
-    kB = k * B
-    Lmask = jnp.where(col_ids_full < kB, L, 0.0)          # (n_p, n_p)
-    LD = Lmask * d[None, :]                               # cols scaled by d
-    Lk = jax.lax.dynamic_slice(Lmask, (kB, 0), (B, n_p))  # (B, n_p)
-    LDk = jax.lax.dynamic_slice(LD, (kB, 0), (B, n_p))
-    Akk = jax.lax.dynamic_slice(A, (kB, kB), (B, B))
-    Acol = jax.lax.dynamic_slice(A, (0, kB), (n_p, B))    # (n_p, B)
-    Lkk, dk, P = _ldl_panel_math(Akk, Acol, LD, Lk, LDk)
-
-    in_block = (row_ids_colblk >= kB) & (row_ids_colblk < kB + B)
-    below = row_ids_colblk >= kB + B
-    Lpad = jnp.zeros((n_p, B), dt)
-    Lpad = jax.lax.dynamic_update_slice(Lpad, Lkk, (kB, 0))
-    colblock = jnp.where(in_block, Lpad, jnp.where(below, P, 0.0))
-    return colblock, dk
+    hp = jax.lax.Precision.HIGHEST
+    L = jnp.zeros((n_p, n_p), dt)
+    d = jnp.zeros((n_p,), dt)
+    T = A
+    for k in range(nb):
+        Lkk, dk, Lkk_inv = _ldl_diag_block_inv(T[:B, :B])
+        inv_d = jnp.where(jnp.abs(dk) > 0, 1.0 / jnp.where(dk == 0, 1.0, dk), 0.0)
+        r = n_p - (k + 1) * B
+        if r:
+            P = (
+                jnp.dot(T[B:, :B], Lkk_inv.T, preferred_element_type=dt,
+                        precision=hp)
+                * inv_d[None, :]
+            )
+            col = jnp.concatenate([Lkk, P], axis=0)
+            T = T[B:, B:] - jnp.dot(
+                P * dk[None, :], P.T, preferred_element_type=dt, precision=hp
+            )
+        else:
+            col = Lkk
+        L = jax.lax.dynamic_update_slice(L, col, (k * B, k * B))
+        d = jax.lax.dynamic_update_slice(d, dk, (k * B,))
+    return L, d
 
 
 def _ldl_kernel(a_ref, o_ref, d_ref):
@@ -224,26 +278,11 @@ def _ldl_factor_impl(M: jax.Array, use_pallas: bool, interpret: bool) -> LdlFact
     n_p = max(((n + B - 1) // B) * B, B)
     A = _pad_sym(M, n_p)
     dt = A.dtype
-    nb = n_p // B
 
     if use_pallas:
         L, d = pallas_ldl(A, interpret=interpret)
     else:
-        col_ids_full = jax.lax.broadcasted_iota(jnp.int32, (n_p, n_p), 1)
-        row_ids_colblk = jax.lax.broadcasted_iota(jnp.int32, (n_p, B), 0)
-
-        def block_step(k, carry):
-            L, d = carry
-            colblock, dk = _block_col_update(
-                A, L, d, k, col_ids_full, row_ids_colblk
-            )
-            L = jax.lax.dynamic_update_slice(L, colblock, (0, k * B))
-            d = jax.lax.dynamic_update_slice(d, dk, (k * B,))
-            return L, d
-
-        L0 = jnp.zeros((n_p, n_p), dt)
-        d0 = jnp.zeros((n_p,), dt)
-        L, d = jax.lax.fori_loop(0, nb, block_step, (L0, d0))
+        L, d = _ldl_xla_unrolled(A)
 
     true_mask = jnp.arange(n_p) < n
     d_true = jnp.where(true_mask, d, 1.0)

@@ -2413,21 +2413,34 @@ class FilterIPMBase:
         return self._run_general()
 
     def _fused_fits_memory(self) -> bool:
-        """The fused MDS mixed-precision program keeps the f64 saddle (for
-        IR), the f32 factor, the f64 fallback factor, and the dense Js
-        border resident at once; at B=2048 ACOPF that is 34.8G vs a 15.75G
-        chip (measured compile OOM).  Estimate the footprint and route
+        """Estimate the fused MDS program's HBM footprint and route
         oversize problems to the general host-loop tiers (which stay
         sparse/host-resident) instead of crashing in the compiler.
+        With the operator-form mp path (triplet structure available,
+        kkt/mds.py MdsSaddleDeviceMpOpFactors) the resident set is the f32
+        saddle + factor plus the double-buffered dense state Jacobian —
+        the f64 saddle is never materialized, so B=2048 ACOPF fits one
+        chip (round 4's dense-mp path needed 34.8G vs 15.75G). The f64
+        refactorization fallback adds two f64 (nd+m)^2 buffers and is
+        gated separately (fused_newton mds_f64_fallback, same budget).
+        Without the triplet structure the dense-mp estimate applies.
         Override with HIOP_TPU_FUSED_MEM_BUDGET (bytes)."""
         from hiop_tpu.formulation.mds import NlpMDS
+        from hiop_tpu.kkt import mds as _kkt_mds
 
         nlp = self.nlp
         if not isinstance(nlp, NlpMDS):
             return True
         n_sad = nlp.n_dense + nlp.m_eq + nlp.m_ineq
         m = nlp.m_eq + nlp.m_ineq
-        est = n_sad * n_sad * 20 + 2 * m * nlp.n_sparse * 8
+        if (
+            self.opts.str_("kkt_fact_dtype") == "float32"
+            and _kkt_mds.mds_js_struct(nlp) is not None
+        ):
+            # f32 saddle + factor (+ transient), dense Jc state x2
+            est = n_sad * n_sad * 12 + 2 * m * nlp.n * 8
+        else:
+            est = n_sad * n_sad * 20 + 2 * m * nlp.n_sparse * 8
         budget = float(os.environ.get("HIOP_TPU_FUSED_MEM_BUDGET", 12e9))
         if est > budget:
             self.log.printf(
@@ -2614,7 +2627,7 @@ class FilterIPMBase:
         for i in range(min(it_num + 1, hist.shape[0])):
             self.iter_num = i
             (f_i, feas_i, opt_i, mu_i, adu_i, apr_i, lsn_i, lss_i,
-             _err_i, soc_i, _f32_i, _dw_i) = hist[i]
+             _err_i, soc_i, _f32_i, _dw_i, _nref_i, _ir_i, _socn_i) = hist[i]
             self._output_iteration(
                 f_i, feas_i, opt_i, mu_i, adu_i, apr_i,
                 int(lsn_i), int(lss_i) if i else -1, use_soc=int(soc_i),

@@ -43,8 +43,12 @@ MAX_LS = 30
 #: columns of the per-iteration history buffer returned by the fused solve
 #: (jit_mode=solve): f, nlp_feasib, nlp_optim, mu, alpha_du, alpha_pr,
 #: ls_count, ls_status, err_nlp, use_soc, mp_f32 (iteration's factorization
-#: stayed in certified f32), delta_w (accepted primal regularization)
-HIST_COLS = 12
+#: stayed in certified f32), delta_w (accepted primal regularization),
+#: n_refact (regularization-ladder refactorizations), ir_primary (IR/FGMRES
+#: iterations on the primary solve), soc_rounds (second-order-correction
+#: re-solves) — the last three are the fused-program per-phase counters
+#: (hiopRunKKTSolStats parity, hiopRunStats.hpp:65)
+HIST_COLS = 15
 HIST_ERR = 8
 #: static cap on the fused solve's history buffer: the executable stays
 #: IDENTICAL for every max_iter (max_iter enters the termination test as a
@@ -76,6 +80,9 @@ class FusedScalars(NamedTuple):
     phi_add: jax.Array
     mp_f32: jax.Array        # bool: factorization used certified f32 (mp)
     delta_w: jax.Array       # accepted primal regularization this iteration
+    n_refact: jax.Array      # regularization-ladder refactorization count
+    ir_primary: jax.Array    # IR/FGMRES iterations on the primary solve
+    soc_rounds: jax.Array    # second-order-correction re-solve count
 
 
 class _FusedLdlFactors(NamedTuple):
@@ -220,6 +227,9 @@ def build_fused_solve(nlp, consts, term, mode: str = "newton"):
                     s.use_soc.astype(dtype),
                     s.mp_f32.astype(dtype),
                     s.delta_w.astype(dtype),
+                    s.n_refact.astype(dtype),
+                    s.ir_primary.astype(dtype),
+                    s.soc_rounds.astype(dtype),
                 ]
             )
             zero = jnp.asarray(0, jnp.int32)
@@ -367,6 +377,28 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
     is_mds = isinstance(nlp, NlpMDS)
     ns = nlp.n_sparse if is_mds else 0
 
+    # operator-form mixed-precision plan (MDS only): precompute the sparse
+    # block's triplet structure and same-column Schur pairs ONCE at build
+    # time; the step then assembles the f32 saddle by scatter and keeps the
+    # f64 IR operator in triplet/operator form (kkt/mds.py
+    # MdsSaddleDeviceMpOpFactors — the ReSolve no-dense-copy IR pattern).
+    # The f64 refactorization fallback is gated STATICALLY on the memory
+    # budget: where its two extra f64 (nd+m)^2 buffers do not fit (B=2048
+    # ACOPF), certification failures exit to the host loop instead of
+    # compiling an OOM program.
+    js_struct = None
+    mds_f64_fallback = True
+    if is_mds and bool(consts.get("fused_mp", False)):
+        import os as _os
+
+        from hiop_tpu.kkt import mds as _kkt_mds
+
+        js_struct = _kkt_mds.mds_js_struct(nlp)
+        _nsad = nlp.n_dense + nlp.m_eq + nlp.m_ineq
+        _budget = float(_os.environ.get("HIOP_TPU_FUSED_MEM_BUDGET", 12e9))
+        _base = 8 * _nsad * _nsad + 16 * (nlp.m_eq + nlp.m_ineq) * nlp.n
+        mds_f64_fallback = (_base + 32 * _nsad * _nsad) < _budget
+
     def hess(x, yc, yd, th=None):
         if parametric:
             return nlp.eval_hess(x, 1.0, yc, yd, th)
@@ -465,7 +497,8 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             restarted at 1e-4 and jumped x100 every iteration, accepting a
             delta up to 100x too large: measured as a ~1%-per-iteration
             damped-step crawl on the B=512 ACOPF at full step sizes.
-            Returns (factors, final_delta_w, final_delta_c, new_dw_last)."""
+            Returns (factors, final_delta_w, final_delta_c, new_dw_last,
+            n_refact)."""
             fct0 = fact_fn(jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
             dc = jnp.asarray(delta_c_bar, dtype) * mu**kappa_c
             dw_last = jnp.asarray(dw_last, dtype)
@@ -495,7 +528,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             dc_fin = jnp.where(k_fin > 0, dc, jnp.asarray(0.0, dtype))
             # update_fact_ok: remember the accepted positive delta
             dw_next = jnp.where(fct.ok & (dw_fin > 0), dw_fin, dw_last)
-            return fct, dw_fin, dc_fin, dw_next
+            return fct, dw_fin, dc_fin, dw_next, k_fin
 
         # linear_solver_dense=ldl_nopiv selects the inertia-revealing
         # on-device factorization INSIDE the fused program: blocked no-pivot
@@ -520,6 +553,18 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         mp_f32 = jnp.asarray(False)
         dw_next = jnp.asarray(dw_last, it.x.dtype)
         delta_w_used = jnp.asarray(0.0, it.x.dtype)
+        # per-iteration phase counters (history columns 12-14): ladder
+        # refactorizations, IR/FGMRES iterations on the primary solve, SOC
+        # rounds — the fused-program equivalent of hiopRunKKTSolStats
+        # (hiopRunStats.hpp:65); combined with fresh-process unit costs
+        # (bench_subs.py mds_mp_parts) they give the per-phase time
+        # decomposition of the iteration (docs/kernels.md).
+        n_refact = jnp.asarray(0, jnp.int32)
+        ir_primary = jnp.asarray(0, jnp.int32)
+        # primary_fn, when set by a branch, produces the search direction
+        # for the CURRENT residual by REUSING the certification probe's
+        # solution (no second solve of the same rhs)
+        primary_fn = None
 
         Dx, Dd = res_mod.barrier_diagonals(it, b)
         if is_qn:
@@ -538,6 +583,46 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd, th)
             else:
                 hss, Hdd = nlp.eval_hess_blocks(it.x, 1.0, it.yc, it.yd)
+            use_op = js_struct is not None
+            if use_op:
+                js_rows_, js_cols_, js_pairs_ = js_struct
+                _jv_parts = []
+                if nlp.m_eq:
+                    _jv_parts.append(Jc[nlp.jac_sp_eq_rows, nlp.jac_sp_eq_cols])
+                if nlp.m_ineq:
+                    _jv_parts.append(Jd[nlp.jac_sp_in_rows, nlp.jac_sp_in_cols])
+                js_vals_now = (
+                    jnp.concatenate(_jv_parts) if _jv_parts
+                    else jnp.zeros((0,), it.x.dtype)
+                )
+
+            def _mp_factorize(dw, dc, count_inertia=True):
+                """Dispatch between the operator-form (triplet IR, no f64
+                dense saddle) and the dense mp factorization."""
+                if use_op:
+                    return kkt_mds.factorize_saddle_device_mp_op(
+                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                        Jc[:, ns:], Jd[:, ns:], js_vals_now, js_pairs_,
+                        dw, dw, dc, dc, count_inertia=count_inertia,
+                    )
+                return kkt_mds.factorize_saddle_device_mp(
+                    hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                    Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                    dw, dw, dc, dc, count_inertia=count_inertia,
+                )
+
+            def _mp_solve(fct, rx_t, rd_t, ryc, ryd):
+                """Returns (dxs, dxd, dd, dyc, dyd, certified, n_ir)."""
+                if use_op:
+                    return kkt_mds.solve_saddle_device_mp_op(
+                        fct, js_rows_, js_cols_,
+                        rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol,
+                    )
+                out = kkt_mds.solve_saddle_device_mp(
+                    fct, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol
+                )
+                return (*out, jnp.asarray(0, jnp.int32))
+
             if use_ldl and fused_mp and consts.get("fused_inertia_free"):
                 # inertia-free curvature acceptance
                 # (hiopFactAcceptorInertiaFreeDWD + compute_search_direction
@@ -566,15 +651,9 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 )
 
                 def fact_solve_test(dw):
-                    fct = kkt_mds.factorize_saddle_device_mp(
-                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
-                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
-                        dw, dw, dc, dc, count_inertia=False,
-                    )
-                    sol = kkt_mds.solve_saddle_device_mp(
-                        fct, rx0[:ns], rx0[ns:], rd0, ryc0, ryd0, ir_tol
-                    )
-                    dxs, dxd, dd_, _dyc, _dyd, cert = sol
+                    fct = _mp_factorize(dw, dc, count_inertia=False)
+                    sol = _mp_solve(fct, rx0, rd0, ryc0, ryd0)
+                    dxs, dxd, dd_, _dyc, _dyd, cert, n_ir = sol
                     curv = (
                         jnp.sum((hss + Dx[:ns] + dw) * dxs * dxs)
                         + dxd @ (Hdd @ dxd) + jnp.sum((Dx[ns:] + dw) * dxd * dxd)
@@ -582,24 +661,26 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     )
                     nrm2 = dxs @ dxs + dxd @ dxd + dd_ @ dd_
                     good = fct.ok & cert & (curv >= neg_curv_fact * nrm2)
-                    return fct, sol, good
+                    return fct, sol[:5], good, n_ir
 
-                fct0_, sol0_, good0_ = fact_solve_test(jnp.asarray(0.0, dt))
+                fct0_, sol0_, good0_, ir0_ = fact_solve_test(jnp.asarray(0.0, dt))
 
                 def if_cond(carry):
-                    k, _dw, _f, _s, good = carry
+                    k, _dw, _f, _s, good, _ir = carry
                     return (~good) & (k < MAX_REG)
 
                 def if_body(carry):
-                    k, dw, _f, _s, _g = carry
+                    k, dw, _f, _s, _g, _ir = carry
                     dw_new = jnp.where(k == 0, start, dw * grow)
-                    f_, s_, g_ = fact_solve_test(dw_new)
-                    return (k + 1, dw_new, f_, s_, g_)
+                    f_, s_, g_, ir_ = fact_solve_test(dw_new)
+                    return (k + 1, dw_new, f_, s_, g_, ir_)
 
-                _k, dw_fin, fct32, sol_fin, good_fin = jax.lax.while_loop(
-                    if_cond, if_body,
-                    (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt),
-                     fct0_, sol0_, good0_),
+                n_refact, dw_fin, fct32, sol_fin, good_fin, ir_primary = (
+                    jax.lax.while_loop(
+                        if_cond, if_body,
+                        (jnp.asarray(0, jnp.int32), jnp.asarray(0.0, dt),
+                         fct0_, sol0_, good0_, ir0_),
+                    )
                 )
                 dc_fin = dc
                 delta_w_used = dw_fin
@@ -612,65 +693,113 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                 fct_ok = good_fin
 
                 def solve_compressed(rx_t, rd_t, ryc, ryd):
-                    dxs, dxd, dd_, dyc, dyd = kkt_mds.solve_saddle_device_mp(
-                        fct32, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol
+                    dxs, dxd, dd_, dyc, dyd = _mp_solve(
+                        fct32, rx_t, rd_t, ryc, ryd
                     )[:5]
                     return jnp.concatenate([dxs, dxd]), dd_, dyc, dyd
+
+                def primary_fn():
+                    # the accepted ladder trial's solution IS the direction
+                    # for the primary rhs — no second solve
+                    dxs, dxd, dd_, dyc, dyd = sol_fin
+                    return res_mod.recover_direction(
+                        resid, it, b, jnp.concatenate([dxs, dxd]), dd_, dyc, dyd
+                    )
             elif use_ldl and fused_mp:
-                fct32, dw_fin, dc_fin, dw_next = fact_with_reg(
-                    lambda dw, dc: kkt_mds.factorize_saddle_device_mp(
-                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
-                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
-                        dw, dw, dc, dc,
-                    ),
-                    it.x.dtype, dw_last,
+                fct32, dw_fin, dc_fin, dw_next, n_refact = fact_with_reg(
+                    _mp_factorize, it.x.dtype, dw_last,
                 )
                 delta_w_used = dw_fin
                 # certification probe on the iteration's primary rhs: if the
-                # f32 factors + f64 IR cannot deliver the direction to
-                # ir_tol, refactorize in f64 at the ladder's final deltas
+                # f32 factors + f64 IR (+ the on-device FGMRES escalation)
+                # cannot deliver the direction to ir_tol, refactorize in f64
+                # at the ladder's final deltas — where the f64 fallback fits
+                # in HBM (mds_f64_fallback, static); else exit to the host
+                # loop (certification failures are rare with the FGMRES
+                # stage, so the oversize problems keep the fused speed)
                 rx0, rd0, ryc0, ryd0 = res_mod.compress_rhs_xdycyd(resid, it, b)
-                probe = kkt_mds.solve_saddle_device_mp(
-                    fct32, rx0[:ns], rx0[ns:], rd0, ryc0, ryd0, ir_tol
-                )
+                probe = _mp_solve(fct32, rx0, rd0, ryc0, ryd0)
                 cert = probe[5]
+                ir_primary = probe[6]
                 need64 = fct32.ok & ~cert
                 mp_f32 = fct32.ok & cert
 
-                def _fact64(_):
-                    return kkt_mds.factorize_saddle_device(
-                        hss, Hdd, Dx[:ns], Dx[ns:], Dd,
-                        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
-                        dw_fin, dw_fin, dc_fin, dc_fin,
-                    )
-
-                def _fact64_dummy(_):
-                    f64dt = fct32.M.dtype
-                    return kkt_mds.MdsSaddleDeviceFactors(
-                        jnp.zeros(fct32.L.shape, f64dt),
-                        jnp.zeros(fct32.L.shape[:1], f64dt),
-                        fct32.ks_inv, fct32.Js, fct32.Jdn, fct32.dd_tot,
-                        jnp.asarray(False),
-                    )
-
-                fct64 = jax.lax.cond(need64, _fact64, _fact64_dummy, 0)
-                fct_ok = jnp.where(need64, fct64.ok, fct32.ok)
-
-                def solve_compressed(rx_t, rd_t, ryc, ryd):
-                    def s64(_):
-                        return kkt_mds.solve_saddle_device(
-                            fct64, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                if mds_f64_fallback:
+                    def _fact64(_):
+                        return kkt_mds.factorize_saddle_device(
+                            hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                            Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
+                            dw_fin, dw_fin, dc_fin, dc_fin,
                         )
 
-                    def s32(_):
-                        return kkt_mds.solve_saddle_device_mp(
-                            fct32, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd, ir_tol
-                        )[:5]
+                    def _fact64_dummy(_):
+                        f64dt = it.x.dtype
+                        Js64 = jnp.concatenate(
+                            [Jc[:, :ns], Jd[:, :ns]], axis=0
+                        ).astype(f64dt)
+                        Jdn64 = jnp.concatenate(
+                            [Jc[:, ns:], Jd[:, ns:]], axis=0
+                        ).astype(f64dt)
+                        return kkt_mds.MdsSaddleDeviceFactors(
+                            jnp.zeros(
+                                (fct32.L.shape[0], fct32.L.shape[0]), f64dt
+                            ),
+                            jnp.zeros((fct32.L.shape[0],), f64dt),
+                            fct32.ks_inv, Js64, Jdn64, fct32.dd_tot,
+                            jnp.asarray(False),
+                        )
 
-                    dxs, dxd, dd, dyc, dyd = jax.lax.cond(need64, s64, s32, 0)
+                    fct64 = jax.lax.cond(need64, _fact64, _fact64_dummy, 0)
+                    fct_ok = jnp.where(need64, fct64.ok, fct32.ok)
+                else:
+                    fct64 = None
+                    fct_ok = fct32.ok & cert
+                    need64 = jnp.asarray(False)
+
+                def solve_compressed(rx_t, rd_t, ryc, ryd):
+                    def s32(_):
+                        return _mp_solve(fct32, rx_t, rd_t, ryc, ryd)[:5]
+
+                    if fct64 is None:
+                        dxs, dxd, dd, dyc, dyd = s32(0)
+                    else:
+                        def s64(_):
+                            return kkt_mds.solve_saddle_device(
+                                fct64, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                            )
+
+                        dxs, dxd, dd, dyc, dyd = jax.lax.cond(
+                            need64, s64, s32, 0
+                        )
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
+
+                def primary_fn():
+                    # reuse the certification probe's certified-f32 solution
+                    # for the primary direction; only a (rare) f64 demotion
+                    # actually re-solves
+                    dxs, dxd, dd_, dyc, dyd = probe[:5]
+                    base = res_mod.recover_direction(
+                        resid, it, b,
+                        jnp.concatenate([dxs, dxd]), dd_, dyc, dyd,
+                    )
+                    if fct64 is None:
+                        return base
+
+                    def redo(_):
+                        rx_t, rd_t, ryc, ryd = (rx0, rd0, ryc0, ryd0)
+                        dxs64, dxd64, dd64, dyc64, dyd64 = (
+                            kkt_mds.solve_saddle_device(
+                                fct64, rx_t[:ns], rx_t[ns:], rd_t, ryc, ryd
+                            )
+                        )
+                        return res_mod.recover_direction(
+                            resid, it, b,
+                            jnp.concatenate([dxs64, dxd64]), dd64, dyc64, dyd64,
+                        )
+
+                    return jax.lax.cond(need64, redo, lambda _: base, 0)
             elif use_ldl:
-                fct, dw_fin, _dc, dw_next = fact_with_reg(
+                fct, dw_fin, _dc, dw_next, n_refact = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize_saddle_device(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
@@ -686,7 +815,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                     )
                     return jnp.concatenate([dxs, dxd]), dd, dyc, dyd
             else:
-                fct, dw_fin, _dc, dw_next = fact_with_reg(
+                fct, dw_fin, _dc, dw_next, n_refact = fact_with_reg(
                     lambda dw, dc: kkt_mds.factorize(
                         hss, Hdd, Dx[:ns], Dx[ns:], Dd,
                         Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:],
@@ -708,7 +837,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             from hiop_tpu.kkt import newton_dense as kkt_nd
 
             H = hess(it.x, it.yc, it.yd, th)
-            fct, dw_fin, _dc, dw_next = fact_with_reg(
+            fct, dw_fin, _dc, dw_next, n_refact = fact_with_reg(
                 lambda dw, dc: kkt_nd.factorize_quick(
                     H, Dx, Dd, Jc, Jd, dw, dw, dc, dc
                 ),
@@ -729,7 +858,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             dx, dd, dyc, dyd = solve_compressed(rx_t, rd_t, ryc, ryd)
             return res_mod.recover_direction(res, it, b, dx, dd, dyc, dyd)
 
-        dir_ = solve_dir(resid)
+        dir_ = primary_fn() if primary_fn is not None else solve_dir(resid)
 
         ap_max, ad = it_mod.fraction_to_the_boundary(it, dir_, tau, b)
         theta_curr = theta_of(it, c, d_eval)
@@ -947,6 +1076,9 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
             theta_add=theta_t, phi_add=phi_t,
             mp_f32=mp_f32,
             delta_w=delta_w_used,
+            n_refact=n_refact,
+            ir_primary=ir_primary,
+            soc_rounds=_k_soc,
         )
         if parametric:
             return (th, state_new), scal, dw_next
