@@ -6,13 +6,15 @@ driver-side kill at any point still leaves a parseable result.
 
 Headline: the MDS ACOPF-class NLP (examples/acopf_mds.py) at B=512 on the
 TPU with the production configuration (jit_mode=solve fused program +
-kkt_fact_dtype=float32 mixed-precision factorization certified by on-device
-f64 iterative refinement).  The headline measures warm s/iter over a CAPPED
-iteration window (BENCH_TPU_MAXITER, default 25) after a warm-up run;
-solve-to-convergence and B=2048 run only as budget-permitting extras.
-Reported: IPM iterations/s, KKT factorize ms/iter (direct micro-timing of
-the fused factorization at the measured shape), objective cross-checks, and
-an MFU estimate from counted KKT FLOPs.
+kkt_fact_dtype=float32 operator-form mixed precision certified by on-device
+f64 iterative refinement).  The PRIMARY measurement is a RUN TO CONVERGENCE
+(total time-to-solution, status, iterations); a capped warm window
+(BENCH_TPU_MAXITER, default 25) and the host-CPU anchor use MATCHED
+iteration windows (same max_iter, same options) so the s/iter ratio
+compares like against like.  B=2048 runs the fused program (fits one chip
+with the operator-form IR).  Reported: IPM iterations/s, KKT factorize
+ms/iter (direct micro-timing at the measured shape), objective
+cross-checks, and an MFU estimate from counted KKT FLOPs.
 
 Methodology (docs/kernels.md 'Measurement note'): every measurement runs in
 a FRESH subprocess (bench_subs.py) because this environment's TPU relay
@@ -84,6 +86,7 @@ def _emit(res):
         }), flush=True)
         return
 
+    conv = res.get("tpu512_conv", {})
     iters_per_s = warm["iters"] / warm["wall_s"]
     # MFU: counted KKT FLOPs per iteration / measured factorize time,
     # against the chip's usable f32 peak ('highest' 6-pass bf16 emulation
@@ -100,19 +103,27 @@ def _emit(res):
         vs = cpu_warm["s_per_iter"] / warm["s_per_iter"]
 
     notes = []
+    if conv.get("warm"):
+        cw = conv["warm"]
+        notes.append(
+            f"NORTH STAR convergence: status {cw['status']}, {cw['iters']} "
+            f"iters, {cw['wall_s']:.0f}s warm total time-to-solution "
+            f"({conv['cold']['wall_s']:.0f}s cold), obj {conv['obj']:.6e}"
+            + (f", {cw['f32_fact_frac']*100:.0f}% facts f32"
+               if cw.get("f32_fact_frac") is not None else "")
+        )
+    elif conv.get("error"):
+        notes.append(f"convergence leg: {conv['error']}")
     if cpu_warm.get("s_per_iter"):
-        notes.append(f"host-CPU anchor {cpu_warm['s_per_iter']:.2f} s/iter")
+        notes.append(
+            f"host-CPU anchor {cpu_warm['s_per_iter']:.2f} s/iter on a "
+            f"MATCHED {cpu_warm.get('iters', '?')}-iter window"
+            + (f", {cpu_warm['f32_fact_frac']*100:.0f}% facts f32"
+               if cpu_warm.get("f32_fact_frac") is not None else "")
+        )
     twin = res.get("twin", {})
     if twin.get("obj") is not None:
         notes.append(f"sparse-twin cross-check B=128 obj {twin['obj']:.6e}")
-    full = res.get("tpu512_full", {})
-    if full.get("warm"):
-        fw = full["warm"]
-        notes.append(
-            f"extended 120-iter window: {fw['iters']} iters in "
-            f"{fw['wall_s']:.0f}s ({fw['s_per_iter']:.2f} s/iter), "
-            f"status {fw['status']}"
-        )
     t2 = res.get("tpu2048", {})
     if t2.get("warm"):
         w2 = t2["warm"]
@@ -153,28 +164,42 @@ def main():
     res = {}
     _emit(res)  # a parseable line exists from t=0
 
-    # 1. same-problem CPU anchor first (fast, cheap): per-iteration cost of
-    #    the identical solve on the host (per-iteration cost is shape-bound)
-    res["cpu512"] = _run_sub(
-        "acopf512", "platform=cpu", "max_iter=6", "repeats=1",
-        "jit_mode=kernels",
-        timeout=min(300, max(_left(), 60)),
-    )
-    _emit(res)
-
-    # 2. headline: B=512 on the TPU, fused program, capped warm window
+    # 1. headline rate: B=512 on the TPU, fused program, capped warm window
     res["tpu512"] = _run_sub(
         "acopf512", f"max_iter={_MAXIT}",
         timeout=min(480, max(_left(), 60)),
     )
     _emit(res)
 
-    # 3. objective cross-check vs the fully sparse twin (host path)
+    # 2. the NORTH STAR: the same solve run to convergence — total
+    #    time-to-solution, iterations, status (cap far above the converged
+    #    count; Max_Iter_Exceeded here means a real failure to report)
+    if _left() > 240:
+        # repeats=2 on ONE formulation: run 1 = cold time-to-solution
+        # (trace + cached compile + solve), run 2 = warm time-to-solution
+        # (pure device execution, the repeated-solves pattern)
+        res["tpu512_conv"] = _run_sub(
+            "acopf512", "max_iter=400", "repeats=2",
+            timeout=min(700, max(_left() - 120, 60)),
+        )
+        _emit(res)
+
+    # 3. same-problem CPU anchor on a MATCHED iteration window (same
+    #    max_iter, same options/jit-mode candidates are host tiers): the
+    #    per-iteration ratio compares identical windows
+    res["cpu512"] = _run_sub(
+        "acopf512", "platform=cpu", f"max_iter={_MAXIT}", "repeats=1",
+        "jit_mode=kernels",
+        timeout=min(420, max(_left(), 60)),
+    )
+    _emit(res)
+
+    # 4. objective cross-check vs the fully sparse twin (host path)
     if _left() > 180:
         res["twin"] = _run_sub("sparse_twin128", timeout=min(300, _left()))
         _emit(res)
 
-    # 4. matmul-precision bill on the QN core (VERDICT r2 #5)
+    # 5. matmul-precision bill on the QN core (VERDICT r2 #5)
     for prec in ("highest", "default"):
         if _left() > 120:
             res[f"qn_{prec}"] = _run_sub(
@@ -182,25 +207,26 @@ def main():
             )
     _emit(res)
 
-    # 5. budget-permitting extras: an extended window, then B=2048
-    if _left() > 300:
-        res["tpu512_full"] = _run_sub(
-            "acopf512", "max_iter=120", "repeats=1",
-            timeout=max(_left() - 120, 60),
-        )
-        _emit(res)
+    # 6. B=2048 through the FUSED program (fits one chip with the
+    #    operator-form IR; the f64 fallback is statically gated off there)
     if _left() > 240:
-        # the fused mp program at B=2048 exceeds one chip's HBM (measured:
-        # 34.8G needed vs 15.75G — the f64 saddle kept for IR plus the f64
-        # fallback factor at 18841^2); the host-loop path fits
         res["tpu2048"] = _run_sub(
-            "acopf2048", "repeats=1", "max_iter=8", "jit_mode=kernels",
+            "acopf2048", "repeats=1", "max_iter=8",
             timeout=max(_left() - 30, 60),
         )
         _emit(res)
 
-    # full detail for the record
-    sys.stderr.write(json.dumps(res, indent=1) + "\n")
+    # full detail for the record — to a FILE plus stderr, and the one-line
+    # parseable result is re-printed LAST on stdout so a tail-capture
+    # always ends with it
+    detail = json.dumps(res, indent=1)
+    try:
+        with open(os.path.join(_REPO, "bench_detail.json"), "w") as fh:
+            fh.write(detail + "\n")
+    except OSError:
+        pass
+    sys.stderr.write(detail + "\n")
+    _emit(res)
 
 
 if __name__ == "__main__":

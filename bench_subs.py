@@ -60,30 +60,51 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "solve"
     fused = jit_mode in ("solve", "iteration")
     runs = []
     obj = None
+    # ONE formulation reused across repeats: the fused executable caches on
+    # the formulation, so the warm repeats measure pure device execution
+    # (the repeated-solves pattern, hpc_multisolves.cpp).  The cold run
+    # includes Python tracing + (cache-miss) XLA compilation; a fresh
+    # formulation would re-pay ~40 s of tracing per solve at B=512 even
+    # with the XLA cache warm — that retrace was round 4's 'unattributed
+    # 1.5 s/iter'.
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
+        mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
+        jit_mode=jit_mode, time_kkt="off" if fused else "on",
+        max_iter=max_iter,
+    )
+    nlp = NlpMDS(AcopfMds(n_bus), o)
     for k in range(repeats):
-        o = NlpOptions()
-        o.update(
-            Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
-            mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
-            mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
-            jit_mode=jit_mode, time_kkt="off" if fused else "on",
-            max_iter=max_iter,
-        )
-        nlp = NlpMDS(AcopfMds(n_bus), o)
-        t0 = time.time()
-        r = FilterIPMNewton(nlp).run()
-        wall = time.time() - t0
         k_st = nlp.runstats.kkt
+        fact0, f320 = k_st.n_fact_total, k_st.n_fact_f32
+        t0 = time.time()
+        solver = FilterIPMNewton(nlp)
+        r = solver.run()
+        wall = time.time() - t0
         rec = dict(
             wall_s=round(wall, 2),
             iters=int(r.iterations),
             s_per_iter=round(wall / max(r.iterations, 1), 4),
             status=r.status.name,
         )
-        if k_st.n_fact_total:
+        d_fact = k_st.n_fact_total - fact0
+        if d_fact:
             rec["f32_fact_frac"] = round(
-                k_st.n_fact_f32 / max(k_st.n_fact_total, 1), 3
+                (k_st.n_fact_f32 - f320) / d_fact, 3
             )
+        hist = getattr(solver, "_last_fused_hist", None)
+        n_it = int(r.iterations)
+        if fused and hist is not None and n_it > 0:
+            h = hist[: min(n_it, hist.shape[0])]
+            # per-iteration phase counters (fused history cols 12-14):
+            # multiplied by the mds_mp_parts unit costs they decompose
+            # the iteration time (docs/kernels.md)
+            rec["mean_refact"] = round(float(h[:, 12].mean()), 2)
+            rec["mean_ir"] = round(float(h[:, 13].mean()), 2)
+            rec["mean_soc"] = round(float(h[:, 14].mean()), 2)
+            rec["mean_ls_trials"] = round(float(h[:, 6].mean()), 2)
         if not fused and k_st.n_fact_total:
             rec.update(
                 fact_s_total=round(k_st.fact_seconds_total(), 2),
@@ -117,12 +138,9 @@ def acopf_solve(n_bus: int, platform: str | None = None, jit_mode: str = "solve"
     return out
 
 
-def fact_probe_ms(nlp, reps: int = 6):
-    """Micro-time the fused-mode MDS KKT factorization at this problem's
-    shape with representative operands (identity-ish blocks + the real
-    Jacobian structure at the starting point), syncing through a scalar
-    fetch so the relay cannot hide incomplete work."""
-    import jax
+def _probe_operands(nlp):
+    """Representative fused-mode KKT operands at the starting point,
+    including the triplet structure for the operator-form mp path."""
     import jax.numpy as jnp
     from hiop_tpu.kkt import mds as kkt_mds
 
@@ -135,12 +153,46 @@ def fact_probe_ms(nlp, reps: int = 6):
     Dxs = jnp.ones((ns,), x0.dtype)
     Dxd = jnp.ones((nd,), x0.dtype)
     Dd = jnp.ones((nlp.m_ineq,), x0.dtype)
-    z = jnp.asarray(0.0, x0.dtype)
+    struct = kkt_mds.mds_js_struct(nlp)
+    js_vals = None
+    if struct is not None:
+        parts = []
+        if nlp.m_eq:
+            parts.append(Jc[nlp.jac_sp_eq_rows, nlp.jac_sp_eq_cols])
+        if nlp.m_ineq:
+            parts.append(Jd[nlp.jac_sp_in_rows, nlp.jac_sp_in_cols])
+        js_vals = jnp.concatenate(parts)
+    return dict(
+        ns=ns, nd=nd, Jc=Jc, Jd=Jd, hss=hss, Hdd=Hdd,
+        Dxs=Dxs, Dxd=Dxd, Dd=Dd, struct=struct, js_vals=js_vals,
+        z=jnp.asarray(0.0, x0.dtype),
+    )
 
-    fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
-        hss, Hdd, Dxs, Dxd, Dd,
-        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
-    ))
+
+def fact_probe_ms(nlp, reps: int = 6):
+    """Micro-time the fused-mode MDS KKT factorization at this problem's
+    shape with representative operands (identity-ish blocks + the real
+    Jacobian structure at the starting point), syncing through a scalar
+    fetch so the relay cannot hide incomplete work.  Uses the production
+    operator-form factorization (kkt/mds.py factorize_saddle_device_mp_op)
+    when the triplet structure is available."""
+    import jax
+    from hiop_tpu.kkt import mds as kkt_mds
+
+    p = _probe_operands(nlp)
+    ns, z = p["ns"], p["z"]
+    Jc, Jd = p["Jc"], p["Jd"]
+    if p["struct"] is not None:
+        _, _, pairs = p["struct"]
+        fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp_op(
+            p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+            Jc[:, ns:], Jd[:, ns:], p["js_vals"], pairs, z, z, z, z,
+        ))
+    else:
+        fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
+            p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+            Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+        ))
     f = fact()
     float(f.d[0])  # force completion
     best = float("inf")
@@ -200,8 +252,12 @@ def qn_core(precision: str):
 
 def mds_mp_parts(n_bus: int):
     """Timing decomposition of the fused mixed-precision KKT at the ACOPF
-    shape: factorize, raw LDL triangular solve, f64 saddle matvec, and the
-    full IR-certified solve — each synced through a scalar fetch."""
+    shape: factorize, raw LDL triangular solve, IR-operator matvec
+    (operator form when the triplet structure exists, dense otherwise),
+    and the full IR-certified solve — each synced through a scalar fetch.
+    These unit costs, multiplied by the per-iteration counters in the fused
+    history buffer (n_refact, ir_primary, soc_rounds), give the
+    per-phase decomposition of a fused iteration (docs/kernels.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -214,23 +270,10 @@ def mds_mp_parts(n_bus: int):
     o.update(Hessian="analytical_exact", fixed_var="relax", verbosity_level=0)
     nlp = NlpMDS(AcopfMds(n_bus), o)
     nlp.finalize_initialization()
-    ns, nd = nlp.n_sparse, nlp.n_dense
-    x0 = nlp.get_starting_point()
-    Jc, Jd = nlp.eval_jac(x0)
-    yc = jnp.zeros((nlp.m_eq,), x0.dtype)
-    yd = jnp.zeros((nlp.m_ineq,), x0.dtype)
-    hss, Hdd = nlp.eval_hess_blocks(x0, 1.0, yc, yd)
-    Dxs = jnp.ones((ns,), x0.dtype)
-    Dxd = jnp.ones((nd,), x0.dtype)
-    Dd = jnp.ones((nlp.m_ineq,), x0.dtype)
-    z = jnp.asarray(0.0, x0.dtype)
-
-    fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
-        hss, Hdd, Dxs, Dxd, Dd,
-        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
-    ))
-    f = fact()
-    float(f.d[0])
+    p = _probe_operands(nlp)
+    ns, nd, z = p["ns"], p["nd"], p["z"]
+    Jc, Jd = p["Jc"], p["Jd"]
+    use_op = p["struct"] is not None
 
     def timeit(fn, sync, reps=6):
         out = fn()
@@ -243,18 +286,50 @@ def mds_mp_parts(n_bus: int):
             best = min(best, time.perf_counter() - t0)
         return round(best * 1e3, 2)
 
-    res = dict(bench=f"mds_mp_parts{n_bus}")
+    res = dict(bench=f"mds_mp_parts{n_bus}", op_form=use_op)
+    rng = np.random.default_rng(0)
+    if use_op:
+        js_rows, js_cols, pairs = p["struct"]
+        fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp_op(
+            p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+            Jc[:, ns:], Jd[:, ns:], p["js_vals"], pairs, z, z, z, z,
+        ))
+        f = fact()
+        float(f.d[0])
+        res["fact_ms"] = timeit(fact, lambda f_: f_.d[0])
+        n_sad = nd + nlp.m_eq + nlp.m_ineq
+        rhs32 = jnp.asarray(rng.standard_normal(f.L.shape[0]), jnp.float32)
+        rhs64 = jnp.asarray(rng.standard_normal(n_sad))
+        lf = _ldl.LdlFactors(f.L, f.d, n_sad, jnp.asarray(0), f.ok)
+        tri = jax.jit(lambda r: _ldl.ldl_solve(lf, r))
+        res["ldl_solve_ms"] = timeit(lambda: tri(rhs32), lambda x: x[0])
+        mv = jax.jit(lambda x: kkt_mds._op_matvec(f, js_rows, js_cols, x))
+        res["ir_matvec_ms"] = timeit(lambda: mv(rhs64), lambda x: x[0])
+        full = jax.jit(lambda r: kkt_mds._mp_solve_refined_op(
+            f, js_rows, js_cols, r
+        ))
+        res["mp_solve_ms"] = timeit(lambda: full(rhs64), lambda t: t[0][0])
+        out, cert, n_ir = full(rhs64)
+        res["certified"] = bool(cert)
+        res["solve_n_ir"] = int(n_ir)
+        return res
+
+    fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
+        p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+        Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
+    ))
+    f = fact()
+    float(f.d[0])
     res["fact_ms"] = timeit(fact, lambda f_: f_.d[0])
 
     n_sad = f.M.shape[0]
-    rng = np.random.default_rng(0)
     rhs32 = jnp.asarray(rng.standard_normal(n_sad), jnp.float32)
     rhs64 = jnp.asarray(rng.standard_normal(n_sad))
     lf = _ldl.LdlFactors(f.L, f.d, n_sad, jnp.asarray(0), f.ok)
     tri = jax.jit(lambda r: _ldl.ldl_solve(lf, r))
     res["ldl_solve_ms"] = timeit(lambda: tri(rhs32), lambda x: x[0])
     mv = jax.jit(lambda x: f.M @ x)
-    res["f64_matvec_ms"] = timeit(lambda: mv(rhs64), lambda x: x[0])
+    res["ir_matvec_ms"] = timeit(lambda: mv(rhs64), lambda x: x[0])
     full = jax.jit(
         lambda r: kkt_mds._mp_solve_refined(f, r)
     )

@@ -540,12 +540,29 @@ def _op_matvec(f: MdsSaddleDeviceMpOpFactors, js_rows, js_cols, v):
     return jnp.concatenate([top, f.Jdn @ vd - cy - f.diagC * vy])
 
 
-def _fgmres_device(matvec, precond, rhs, x0, K: int):
-    """Fixed-K flexible GMRES, fully traceable (the escalation stage of the
-    on-device IR certification — invoked only when plain refinement fails,
-    via lax.cond). CGS2 orthogonalization; small least-squares by lstsq on
-    the (K+1, K) Hessenberg (zero columns from breakdown are dropped by the
-    rcond cutoff). Returns the updated iterate."""
+def _fgmres_y(H, beta, K):
+    """Small-system solve of the GMRES least squares min ||beta e1 - H y||
+    by regularized normal equations (H^T H + eps I) y = H^T beta e1 —
+    zero columns (unbuilt iterations / breakdown) get y=0 through the
+    regularization. A (K, K) Cholesky: cheap and TPU-friendly, unlike
+    jnp.linalg.lstsq whose SVD is an iterative Jacobi on TPU."""
+    dt = H.dtype
+    e1 = jnp.zeros((H.shape[0],), dt).at[0].set(beta)
+    G = H.T @ H
+    g = H.T @ e1
+    scale = jnp.maximum(jnp.max(jnp.abs(G)), 1e-300)
+    G = G + (1e-14 * scale) * jnp.eye(K, dtype=dt)
+    c = jax.scipy.linalg.cho_factor(G)
+    return jax.scipy.linalg.cho_solve(c, g)
+
+
+def _fgmres_device(matvec, precond, rhs, x0, K: int, tol_abs):
+    """Early-exit flexible GMRES, fully traceable (the escalation stage of
+    the on-device IR certification — invoked only when plain refinement
+    fails, via lax.cond). CGS2 orthogonalization in a lax.while_loop that
+    stops as soon as the projected residual |g_{j+1}| (tracked by Givens
+    rotations) drops under ``tol_abs`` — unneeded iterations are never
+    executed. Returns (x, n_iter)."""
     n = rhs.shape[0]
     dt = rhs.dtype
     r0 = rhs - matvec(x0)
@@ -554,8 +571,12 @@ def _fgmres_device(matvec, precond, rhs, x0, K: int):
     Z0 = jnp.zeros((K, n), dt)
     H0 = jnp.zeros((K + 1, K), dt)
 
-    def body(j, carry):
-        V, Z, H = carry
+    def cond(carry):
+        _V, _Z, _H, j, res = carry
+        return (res > tol_abs) & (j < K)
+
+    def body(carry):
+        V, Z, H, j, _res = carry
         z = precond(V[j])
         w = matvec(z)
         h1 = V @ w
@@ -567,16 +588,24 @@ def _fgmres_device(matvec, precond, rhs, x0, K: int):
         col = (h1 + h2).at[j + 1].add(hn)
         H = H.at[:, j].set(col)
         Z = Z.at[j].set(z)
-        return V, Z, H
+        # projected residual |g_{j+1}| of min ||beta e1 - H y|| via the
+        # tiny normal-equations solve (K x K ops — negligible next to the
+        # matvec/trisolve above)
+        y = _fgmres_y(H, beta, K)
+        res = jnp.linalg.norm(
+            jnp.zeros((K + 1,), dt).at[0].set(beta) - H @ y
+        )
+        return V, Z, H, j + 1, res
 
-    _V, Z, H = jax.lax.fori_loop(jnp.int32(0), jnp.int32(K), body, (V0, Z0, H0))
-    e1 = jnp.zeros((K + 1,), dt).at[0].set(beta)
-    y = jnp.linalg.lstsq(H, e1)[0]
-    return x0 + Z.T @ y
+    _V, Z, H, n_it, _res = jax.lax.while_loop(
+        cond, body, (V0, Z0, H0, jnp.asarray(0, jnp.int32), beta)
+    )
+    y = _fgmres_y(H, beta, K)
+    return x0 + Z.T @ y, n_it
 
 
 def _mp_solve_refined_op(f: MdsSaddleDeviceMpOpFactors, js_rows, js_cols, rhs,
-                         ir_tol: float = 1e-9, max_ir: int = 8,
+                         ir_tol: float = 1e-9, max_ir: int = 4,
                          fgmres_k: int = 16):
     """Solve M x = rhs through the equilibrated f32 factors with f64
     OPERATOR-FORM iterative refinement, escalating to a fixed-K on-device
@@ -631,13 +660,19 @@ def _mp_solve_refined_op(f: MdsSaddleDeviceMpOpFactors, js_rows, js_cols, rhs,
 
     if fgmres_k > 0:
         def escalate(x):
-            x_f = _fgmres_device(matvec, solve32, rhs, x, fgmres_k)
+            x_f, n_f = _fgmres_device(
+                matvec, solve32, rhs, x, fgmres_k, ir_tol * b_norm
+            )
             # a diverged FGMRES (breakdown) must not replace a finite iterate
-            return jnp.where(jnp.all(jnp.isfinite(x_f)), x_f, x)
+            return jnp.where(jnp.all(jnp.isfinite(x_f)), x_f, x), n_f
 
-        x = jax.lax.cond(plain_ok, lambda x: x, escalate, x)
+        x, n_f = jax.lax.cond(
+            plain_ok,
+            lambda x: (x, jnp.asarray(0, jnp.int32)),
+            escalate, x,
+        )
         r = jnp.where(plain_ok, r.astype(dt), rhs - matvec(x))
-        k = jnp.where(plain_ok, k, k + fgmres_k)
+        k = k + n_f
     certified = (relres(x, r) <= ir_tol) & jnp.all(jnp.isfinite(x))
     return x, certified, k
 

@@ -911,7 +911,23 @@ class _SparseDirectStrategy:
                 self._solver_name = "splu"
                 self.kkt = self._kkt_cls(nlp, self._solver_name)
             else:
-                self.kkt = DeviceSparseXDYcYdKKT(nlp)
+                try:
+                    self.kkt = DeviceSparseXDYcYdKKT(nlp)
+                except ValueError as e:
+                    # the symbolic analysis refused the pattern (fill/op
+                    # guards, linalg/sparse_device.py max_ops/max_lnz) —
+                    # fall back to the host splu backend, like the
+                    # reference demoting an unavailable GPU solver with a
+                    # warning (hiopKKTLinSysSparse.cpp:277+)
+                    logger.printf(
+                        Verbosity.WARNING,
+                        "device_ldl symbolic analysis refused this pattern "
+                        "(%s); falling back to the host splu backend",
+                        str(e),
+                    )
+                    self._solver_name = "splu"
+                    self.kkt = self._kkt_cls(nlp, self._solver_name)
+                    stats.kkt.n_device_ldl_fallback += 1
         else:
             self.kkt = self._kkt_cls(nlp, self._solver_name)
         self._mu = 1.0

@@ -38,6 +38,9 @@ class KKTSolveStats:
         #: report pivot-sign inertia (e.g. splu's pivoted fallback engaged)
         #: — acceptance degraded to the inertia-free curvature test
         self.n_fact_no_inertia = 0
+        #: device_ldl symbolic analysis refused the pattern and the
+        #: strategy fell back to a host backend (filter_ipm)
+        self.n_device_ldl_fallback = 0
         self._cum_fact_s = 0.0
         self._cum_total_s = 0.0
 

@@ -101,10 +101,17 @@ def _qn_large(pid, nproc):
     shard_formulation(nlp, mesh)
     t0 = time.time()
     r = FilterIPMQuasiNewton(nlp).run()
+    wall_cold = time.time() - t0
+    # warm re-solve on the same formulation: the fused executable is cached
+    # on the nlp, so this window excludes compilation — the number
+    # comparable to the reference's first-20-iters s/iter (BASELINE.md)
+    t0 = time.time()
+    r = FilterIPMQuasiNewton(nlp).run()
     wall = time.time() - t0
     return dict(
         obj=float(r.obj), iterations=int(r.iterations), status=r.status.name,
         devices=mesh.devices.size, n=n, wall_s=round(wall, 2),
+        wall_cold_s=round(wall_cold, 2),
         s_per_iter=round(wall / max(r.iterations, 1), 3),
     )
 
