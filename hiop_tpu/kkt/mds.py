@@ -291,6 +291,7 @@ class MdsSaddleDeviceMpFactors(NamedTuple):
     Jdn: jax.Array
     dd_tot: jax.Array
     ok: jax.Array       # finite f32 factorization AND inertia == mc + md
+    n_neg: jax.Array    # f32 pivot-sign negative count incl. eliminated diag
 
 
 def factorize_saddle_device_mp(
@@ -341,7 +342,7 @@ def factorize_saddle_device_mp(
     if count_inertia:
         ok = ok & (f.n_neg + n_neg_ks == mc + md)
     return MdsSaddleDeviceMpFactors(
-        f.L, f.d, s, M, ks_inv, Js, Jdn, dd_tot, ok
+        f.L, f.d, s, M, ks_inv, Js, Jdn, dd_tot, ok, f.n_neg + n_neg_ks
     )
 
 
@@ -467,6 +468,10 @@ class MdsSaddleDeviceMpOpFactors(NamedTuple):
     ks_inv: jax.Array   # (n_s,) f64 signed inverse of the eliminated block
     dd_tot: jax.Array
     ok: jax.Array       # finite f32 factorization AND inertia == mc + md
+    n_neg: jax.Array    # f32 pivot-sign negative count INCL. the eliminated
+                        # diagonal (compare to mc + md); near-zero pivots
+                        # make this noisy in f32 — callers may verify a
+                        # mismatch with a lazy f64 factorization
 
 
 def factorize_saddle_device_mp_op(
@@ -519,6 +524,7 @@ def factorize_saddle_device_mp_op(
     return MdsSaddleDeviceMpOpFactors(
         f.L, f.d, s32.astype(dt), jnp.max(rmax).astype(dt),
         Kd, Jdn, js_vals, diagC, ks_inv, dd_tot, ok,
+        f.n_neg + n_neg_ks,
     )
 
 

@@ -706,8 +706,42 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                         resid, it, b, jnp.concatenate([dxs, dxd]), dd_, dyc, dyd
                     )
             elif use_ldl and fused_mp:
+                # f32 pivot signs are NOISY near zero pivots: at
+                # late-barrier conditioning the equilibrated f32 LDL can
+                # miscount the inertia at small delta_w (measured at B=512:
+                # f32 says 4612 vs true 4608 at dw=0.125 while dw>=0.01 is
+                # truly acceptable), and the spurious rejections pin the
+                # ladder at O(1) regularization — a ~0.2%-per-iteration
+                # objective crawl at full step sizes. When the f32 count
+                # disagrees with the target, VERIFY it with a lazy f64
+                # factorization (lax.cond — only contested trials pay the
+                # ~350 ms): the f64 pivot signs are authoritative, the f32
+                # factors still serve the (IR-certified) solves. Gated on
+                # the same static memory plan as the f64 cert fallback.
+                target_neg = m
+                if mds_f64_fallback:
+                    def _mp_fact_verified(dw, dc):
+                        fct = _mp_factorize(dw, dc, count_inertia=False)
+                        count_ok = fct.n_neg == target_neg
+
+                        def verify(_):
+                            f64 = kkt_mds.factorize_saddle_device(
+                                hss, Hdd, Dx[:ns], Dx[ns:], Dd,
+                                Jc[:, :ns], Jc[:, ns:],
+                                Jd[:, :ns], Jd[:, ns:],
+                                dw, dw, dc, dc,
+                            )
+                            return f64.ok  # folds the true inertia test
+
+                        count_ok = jax.lax.cond(
+                            fct.ok & ~count_ok, verify,
+                            lambda _: count_ok, 0,
+                        )
+                        return fct._replace(ok=fct.ok & count_ok)
+                else:
+                    _mp_fact_verified = _mp_factorize
                 fct32, dw_fin, dc_fin, dw_next, n_refact = fact_with_reg(
-                    _mp_factorize, it.x.dtype, dw_last,
+                    _mp_fact_verified, it.x.dtype, dw_last,
                 )
                 delta_w_used = dw_fin
                 # certification probe on the iteration's primary rhs: if the
