@@ -53,9 +53,16 @@ import jax.numpy as jnp
 from hiop_tpu import FilterIPMNewton, MdsProblem, NlpMDS, NlpOptions, SparseProblem, NlpSparse
 from hiop_tpu.interface.base import INF
 
-# converged objective at the default size/seed (B=32, ng=6, seed=0),
-# cross-validated between the MDS and sparse paths
-SELFCHECK = {32: (2.054726213295e01, 1e-6), 128: (5.773825703419e01, 1e-5)}
+# converged objectives (seed=0), cross-validated between the MDS and
+# sparse paths (B=256/512 recorded round 5: MDS fused mixed-precision
+# solve vs the f64 host sparse twin — 153.80814066854/129 it and
+# 370.30932906060/350 it respectively on the twin)
+SELFCHECK = {
+    32: (2.054726213295e01, 1e-6),
+    128: (5.773825703419e01, 1e-5),
+    256: (1.538081406685e02, 1e-5),
+    512: (3.703093290606e02, 1e-4),
+}
 
 
 def _grid_y_values(n_bus, edges, line_y, order, mask=None):

@@ -205,9 +205,18 @@ class MdsSaddleDeviceFactors(NamedTuple):
     factorized by the on-device blocked no-pivot LDL^T, inertia by pivot
     signs + Haynsworth additivity for the eliminated diagonal. All leaves
     are arrays, so this flows through lax.while_loop carries — the fused
-    (jit_mode=iteration/solve) inertia-revealing KKT realization."""
-    L: jax.Array        # unit-lower LDL factor (padded)
+    (jit_mode=iteration/solve) inertia-revealing KKT realization.
+
+    The saddle is symmetrically row-max equilibrated before factorization
+    (a congruence — inertia preserved; ``s`` holds the scale): without it
+    the no-pivot breakdown test (pivot magnitude vs eps * max|M|) misfires
+    on barrier-scaled saddles whose row scales span ~1e9, spuriously
+    failing the f64 certification fallback exactly at the degenerate
+    late-barrier points that need it (observed as fused st=6 exits at
+    B=512)."""
+    L: jax.Array        # unit-lower LDL factor of s M s (padded)
     d: jax.Array        # pivots (padded)
+    s: jax.Array        # (nd+m,) equilibration scale
     ks_inv: jax.Array
     Js: jax.Array
     Jdn: jax.Array
@@ -247,9 +256,11 @@ def factorize_saddle_device(
         jnp.concatenate([jnp.full((mc,), delta_cc, dt), dd_inv + delta_cd])
     )
     M = jnp.block([[Kd, Jdn.T], [Jdn, -C]])
-    f = _ldl.ldl_factor(M)
+    rmax = jnp.max(jnp.abs(M), axis=1)
+    s = jnp.where(rmax > 0, 1.0 / jnp.sqrt(jnp.maximum(rmax, 1e-300)), 1.0)
+    f = _ldl.ldl_factor(s[:, None] * M * s[None, :])
     ok = f.ok & ks_ok & (f.n_neg + n_neg_ks == mc + md)
-    return MdsSaddleDeviceFactors(f.L, f.d, ks_inv, Js, Jdn, dd_tot, ok)
+    return MdsSaddleDeviceFactors(f.L, f.d, s, ks_inv, Js, Jdn, dd_tot, ok)
 
 
 def solve_saddle_device(f: MdsSaddleDeviceFactors, rxs_t, rxd_t, rd_t, ryc, ryd):
@@ -262,7 +273,7 @@ def solve_saddle_device(f: MdsSaddleDeviceFactors, rxs_t, rxd_t, rd_t, ryc, ryd)
     rhs_y = jnp.concatenate([ryc, ryd + dd_inv * rd_t]) - f.Js @ (f.ks_inv * rxs_t)
     rhs = jnp.concatenate([rxd_t, rhs_y])
     lf = _ldl.LdlFactors(f.L, f.d, rhs.shape[0], jnp.asarray(0), f.ok)
-    sol = _ldl.ldl_solve(lf, rhs)
+    sol = f.s * _ldl.ldl_solve(lf, f.s * rhs)
     dxd = sol[:nd]
     dy = sol[nd:]
     dyc, dyd = dy[:mc], dy[mc:]

@@ -1813,6 +1813,33 @@ class FilterIPMBase:
         self.solver_status = SolveStatus.NlpSolve_Pending
         self.iter_num = 0
 
+        # fused -> general handoff (the reference's quick->safe switching
+        # keeps the iterate, switch_to_safer_KKT hpp:468): when the fused
+        # program exits needs-host, the general loop RESUMES from its last
+        # iterate and barrier parameter instead of restarting from scratch
+        # — the fused prefix's progress (typically the cheap early barrier
+        # stages) is kept, and the host tiers only pay for the hard tail.
+        handoff = getattr(self, "_fused_handoff", None)
+        if handoff is not None:
+            self._fused_handoff = None
+            it_h, mu_h, it_done = handoff
+            if bool(np.all(np.isfinite(np.asarray(it_h.x)))):
+                it_curr = it_h
+                mu = mu_h
+                tau = max(self.tau_min, 1.0 - mu)
+                f, c, d_eval = self._eval_f_cons(it_curr.x)
+                grad_f = nlp.eval_grad_f(it_curr.x)
+                Jc, Jd = nlp.eval_jac(it_curr.x)
+                resid, norms = self._update_residual(
+                    it_curr, c, d_eval, grad_f, Jc, Jd, b, mu
+                )
+                self.iter_num = it_done
+                self.log.printf(
+                    Verbosity.SUMMARY,
+                    "resuming the general loop from the fused iterate "
+                    "(iteration %d, mu=%.3e)", it_done, mu,
+                )
+
         # problem summary + options echo at start (reference cpp:981-989;
         # version banner = hiopVersion parity)
         import hiop_tpu as _pkg
@@ -2662,6 +2689,11 @@ class FilterIPMBase:
             stats.kkt.n_fact_total += int(used.shape[0])
             stats.kkt.n_fact_f32 += int(used.sum())
 
+        if st in (6, 7):
+            # hand the final fused iterate to the general loop (resume, not
+            # restart — see _run_loop's handoff block)
+            core = state[1] if getattr(nlp, "parametric", False) else state
+            self._fused_handoff = (core.it, mu, it_num)
         if st == 6:
             raise _FusedFallback("factorization needs regularization")
         if st == 7:
@@ -2755,8 +2787,12 @@ class FilterIPMBase:
                 break
 
             if not bool(sh.fact_ok):
+                core = state[1] if getattr(nlp, "parametric", False) else state
+                self._fused_handoff = (core.it, mu, self.iter_num)
                 raise _FusedFallback("factorization needs regularization")
             if int(sh.ls_status) == 0:
+                core = state[1] if getattr(nlp, "parametric", False) else state
+                self._fused_handoff = (core.it, mu, self.iter_num)
                 raise _FusedFallback("line search rejected (SOC/FR needed)")
 
             # mu schedule (single reduction per iteration; catch-up happens

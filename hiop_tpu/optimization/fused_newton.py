@@ -779,6 +779,7 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
                                 (fct32.L.shape[0], fct32.L.shape[0]), f64dt
                             ),
                             jnp.zeros((fct32.L.shape[0],), f64dt),
+                            jnp.ones((nlp.n_dense + m,), f64dt),
                             fct32.ks_inv, Js64, Jdn64, fct32.dd_tot,
                             jnp.asarray(False),
                         )

@@ -404,3 +404,34 @@ def test_acopf_solve_forced_through_safe_schur_tier():
     assert r.status.is_success
     r_ref = am.solve(16, sparse=False, verbosity_level=0)
     assert _rel(r.obj, r_ref.obj) < 1e-6
+
+
+@pytest.mark.slow
+def test_acopf_b256_mds_twin_cross_check():
+    """Round-5 SELFCHECK anchors: the B=256 MDS fused mixed-precision solve
+    and the f64 host sparse twin must both converge to the recorded
+    objective (the reference's MDS-vs-other-formulation equivalence
+    technique at the production scale family)."""
+    ref, tol = am.SELFCHECK[256]
+
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
+        mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
+        jit_mode="solve", max_iter=600,
+    )
+    nlp = NlpMDS(am.AcopfMds(256), o)
+    r_mds = FilterIPMNewton(nlp).run()
+    assert r_mds.status.is_success
+    assert _rel(r_mds.obj, ref) < tol
+
+    o2 = NlpOptions()
+    o2.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0,
+    )
+    r_sp = FilterIPMNewton(NlpSparse(am.AcopfSparse(256), o2)).run()
+    assert r_sp.status.is_success
+    assert _rel(r_sp.obj, ref) < tol
+    assert _rel(r_mds.obj, r_sp.obj) < tol

@@ -155,3 +155,59 @@ def test_chunked_fused_solve_matches_single_dispatch(monkeypatch):
     assert r_chunk.status == r_one.status
     assert r_chunk.iterations == r_one.iterations
     assert abs(r_chunk.obj - r_one.obj) < 1e-12
+
+
+def test_fused_to_general_handoff_resumes():
+    """When the fused program exits needs-host, the general loop must
+    RESUME from the fused iterate and barrier parameter (the reference's
+    quick->safe switching keeps the iterate, switch_to_safer_KKT
+    hpp:468) — not restart from scratch. Seed a handoff at a mid-solve
+    state and check the general loop continues the iteration count and
+    converges."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from examples.acopf_mds import AcopfMds
+    from hiop_tpu import FilterIPMNewton, NlpMDS, NlpOptions
+    from hiop_tpu.optimization import fused_newton as fn
+
+    o = NlpOptions()
+    o.update(
+        Hessian="analytical_exact", fixed_var="relax", tolerance=1e-6,
+        mu0=0.1, verbosity_level=0, kkt_fact_dtype="float32",
+        mp_schedule="adaptive", linear_solver_dense="ldl_nopiv",
+        jit_mode="solve", max_iter=300,
+    )
+    nlp = NlpMDS(AcopfMds(16), o)
+    solver = FilterIPMNewton(nlp)
+
+    # run the fused solve a few iterations to obtain a genuine mid state
+    mu = solver.mu0
+    tau = max(solver.tau_min, 1.0 - mu)
+    state, consts = solver._fused_init()
+    term = dict(
+        eps_tol=solver.eps_tol, rel_tol=solver.rel_tol,
+        accep_tol=solver.accep_tol, accep_iters=solver.accep_iters,
+        max_iter=solver.max_iter, kappa_eps=solver.kappa_eps,
+        kappa_mu=solver.kappa_mu, theta_mu=solver.theta_mu,
+        tau_min=solver.tau_min,
+        comp_tol_scaled=solver.comp_tol / nlp.scale_obj,
+    )
+    solve = fn.build_fused_solve(nlp, consts, term, mode="newton")
+    state, mu_dev, it_num, st, err, hist, carry = solve(
+        state, mu, tau, solver.theta_min, solver.theta_max, 300, it_stop=8
+    )
+    assert int(it_num) == 8 and int(st) == 0
+
+    solver2 = FilterIPMNewton(nlp)
+    solver2._fused_handoff = (state.it, float(mu_dev), int(it_num))
+    r = solver2._run_general()
+    assert r.status.is_success
+    # resumed, not restarted: total iterations include the 8-iteration
+    # fused prefix and stay below a from-scratch general solve's count
+    assert r.iterations > 8
+    ref, tol = 13.167871626392, 1e-5
+    from examples.acopf_mds import SELFCHECK
+    # objective must match the B=16 optimum from the cross-check test family
+    r_ref = FilterIPMNewton(NlpMDS(AcopfMds(16), o)).run()
+    assert abs(r.obj - r_ref.obj) <= 1e-6 * max(1.0, abs(r_ref.obj))
