@@ -175,12 +175,12 @@ def main():
     #    time-to-solution, iterations, status (cap far above the converged
     #    count; Max_Iter_Exceeded here means a real failure to report)
     if _left() > 240:
-        # repeats=2 on ONE formulation: run 1 = cold time-to-solution
-        # (trace + cached compile + solve), run 2 = warm time-to-solution
-        # (pure device execution, the repeated-solves pattern)
+        # time-to-solution from scratch: trace + (cache-hit) compile + the
+        # fused prefix + the general-loop tail resumed from the fused
+        # iterate (B=512 converges in ~313 iterations, ~506 s warm)
         res["tpu512_conv"] = _run_sub(
-            "acopf512", "max_iter=400", "repeats=2",
-            timeout=min(700, max(_left() - 120, 60)),
+            "acopf512", "max_iter=600", "repeats=1",
+            timeout=min(1200, max(_left() - 120, 60)),
         )
         _emit(res)
 
