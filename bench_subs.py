@@ -182,17 +182,32 @@ def fact_probe_ms(nlp, reps: int = 6):
     p = _probe_operands(nlp)
     ns, z = p["ns"], p["z"]
     Jc, Jd = p["Jc"], p["Jd"]
+    # operands enter as ARGUMENTS (device buffers), never as baked jit
+    # constants — a closure-constant program at B=2048 exceeds the remote
+    # compiler's upload limit (HTTP 413)
     if p["struct"] is not None:
         _, _, pairs = p["struct"]
-        fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp_op(
-            p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
-            Jc[:, ns:], Jd[:, ns:], p["js_vals"], pairs, z, z, z, z,
-        ))
+        jfact = jax.jit(
+            lambda hss, Hdd, Dxs, Dxd, Dd, Jcd, Jdd, jv:
+            kkt_mds.factorize_saddle_device_mp_op(
+                hss, Hdd, Dxs, Dxd, Dd, Jcd, Jdd, jv, pairs, z, z, z, z,
+            )
+        )
+        args = (p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+                Jc[:, ns:], Jd[:, ns:], p["js_vals"])
     else:
-        fact = jax.jit(lambda: kkt_mds.factorize_saddle_device_mp(
-            p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
-            Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:], z, z, z, z,
-        ))
+        jfact = jax.jit(
+            lambda hss, Hdd, Dxs, Dxd, Dd, Jcs, Jcd, Jds, Jdd:
+            kkt_mds.factorize_saddle_device_mp(
+                hss, Hdd, Dxs, Dxd, Dd, Jcs, Jcd, Jds, Jdd, z, z, z, z,
+            )
+        )
+        args = (p["hss"], p["Hdd"], p["Dxs"], p["Dxd"], p["Dd"],
+                Jc[:, :ns], Jc[:, ns:], Jd[:, :ns], Jd[:, ns:])
+
+    def fact():
+        return jfact(*args)
+
     f = fact()
     float(f.d[0])  # force completion
     best = float("inf")

@@ -77,6 +77,22 @@ def initial_duals_lsq(Jc, Jd, grad_f, zl, zu, vl, vu, lsq_max: float):
     realization for matrix-free Jacobian handles."""
     if hasattr(Jc, "vals") or hasattr(Jd, "vals"):
         yc, yd = lsq_duals_matfree(Jc, Jd, grad_f, zl, zu, vl, vu)
+    elif (Jc.shape[0] + Jd.shape[0]) * Jc.shape[1] > 50_000_000:
+        # forming J J^T for a huge dense Jacobian OOMs long before the
+        # solver proper would (measured: B=2048 ACOPF, J 18432 x 20889 f64,
+        # needs 34.8 GB vs 15.75 GB HBM through the emulated-f64 matmul;
+        # even matvec-only CG needs 17.3 GB from the hi/lo-split f64
+        # emulation copies). Run the CG in f32 — this is an INITIALIZATION
+        # whose result is magnitude-capped below anyway; ~1e-6 duals
+        # accuracy is plenty.
+        f32 = jnp.float32
+        yc, yd = lsq_duals_matfree(
+            Jc.astype(f32), Jd.astype(f32), grad_f.astype(f32),
+            zl.astype(f32), zu.astype(f32), vl.astype(f32), vu.astype(f32),
+            tol=1e-6,
+        )
+        yc = yc.astype(grad_f.dtype)
+        yd = yd.astype(grad_f.dtype)
     else:
         yc, yd = lsq_duals(Jc, Jd, grad_f, zl, zu, vl, vu)
     ynrm = max(

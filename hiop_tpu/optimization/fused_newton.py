@@ -444,9 +444,40 @@ def _build_fused_step_uncached(nlp, consts, mode: str = "newton"):
         else:
             it, f, c, d_eval, grad, Jc, Jd = state
 
-        # residual + errors at the current point
-        jacT_yc = Jc.T @ it.yc if m else jnp.zeros_like(it.x)
-        jacT_yd = Jd.T @ it.yd if m else jnp.zeros_like(it.x)
+        # residual + errors at the current point. For MDS problems with the
+        # triplet structure, J^T y runs through the sparse-block triplets +
+        # the small dense border instead of a dense (m, n) dot_general —
+        # the f64-emulated dense matvec's hi/lo operand splits alone exceed
+        # HBM at B=2048 ACOPF (Jc is 3.1 GB f64; measured compile OOM).
+        if is_mds and js_struct is not None and m:
+            _jsr, _jsc, _ = js_struct
+            _jv = []
+            if nlp.m_eq:
+                _jv.append(Jc[nlp.jac_sp_eq_rows, nlp.jac_sp_eq_cols])
+            if nlp.m_ineq:
+                _jv.append(Jd[nlp.jac_sp_in_rows, nlp.jac_sp_in_cols])
+            _jv = jnp.concatenate(_jv) if _jv else jnp.zeros((0,), it.x.dtype)
+
+            def _jacT(y_stacked, Jdense):
+                sp = (
+                    jnp.zeros((ns,), it.x.dtype)
+                    .at[_jsc].add(_jv * y_stacked[_jsr])
+                )
+                return jnp.concatenate([sp, Jdense])
+
+            _y_st = jnp.concatenate([
+                it.yc,
+                jnp.zeros((nlp.m_ineq,), it.x.dtype),
+            ])
+            jacT_yc = _jacT(_y_st, Jc[:, ns:].T @ it.yc)
+            _y_st_d = jnp.concatenate([
+                jnp.zeros((nlp.m_eq,), it.x.dtype),
+                it.yd,
+            ])
+            jacT_yd = _jacT(_y_st_d, Jd[:, ns:].T @ it.yd)
+        else:
+            jacT_yc = Jc.T @ it.yc if m else jnp.zeros_like(it.x)
+            jacT_yd = Jd.T @ it.yd if m else jnp.zeros_like(it.x)
         resid, norms = res_mod.update_residual(
             it, c, d_eval, grad, jacT_yc, jacT_yd, crhs, b, mu, kappa_d
         )
