@@ -164,10 +164,12 @@ def main():
     res = {}
     _emit(res)  # a parseable line exists from t=0
 
-    # 1. headline rate: B=512 on the TPU, fused program, capped warm window
+    # 1. headline rate: B=512 on the TPU, fused program, capped warm window.
+    #    A compile-cache MISS costs ~8 minutes alone through the remote
+    #    relay; the timeout must cover compile + two solves
     res["tpu512"] = _run_sub(
         "acopf512", f"max_iter={_MAXIT}",
-        timeout=min(480, max(_left(), 60)),
+        timeout=min(1100, max(_left(), 60)),
     )
     _emit(res)
 
